@@ -1,0 +1,130 @@
+r"""Contact terms and combined multibody dynamics terms.
+
+Replaces the reference's ``ContactTerms``/``MultibodyTerms``
+(``/root/reference/dair_pll/multibody_terms.py:253-656``): signed distances
+``phi(q)``, the contact Jacobian ``J(q)`` in ``[J_n; mu J_t]`` ordering, the
+Delassus operator ``D(q) = J M^{-1} J^T``, and the contact-free
+acceleration — all as pure, unbatched functions of ``(model, params, q, v,
+u)``. Callers ``vmap`` over batches; every shape is static (fixed contact
+count per collision pair) so the whole pipeline jits.
+
+Contact impulse layout (matching the reference, ``multibody_terms.py:
+401-426`` and ``tensor_utils.py:369-390``): with ``k`` contact points the
+stacked impulse is ``[n_1 .. n_k, t_1x t_1y .. t_kx t_ky]``; the friction
+coefficient is folded into the tangential Jacobian rows so the feasible set
+is the product of *unit* Lorentz cones.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from dair_pll_tpu import geometry as geometry_mod
+from dair_pll_tpu.multibody.dynamics import lagrangian_terms
+from dair_pll_tpu.multibody.kinematics import (body_kinematics,
+                                               geometry_kinematics)
+from dair_pll_tpu.ops.tensor import skew_symmetric
+
+
+def contact_terms(model, params, q: Array) -> Tuple[Array, Array]:
+    """Signed distances and contact Jacobian for all collision candidates.
+
+    Mirrors the per-pair sweep of reference ``ContactTerms.forward``
+    (``multibody_terms.py:428-521``) as a static Python loop (pair count and
+    contact counts are fixed at trace time).
+
+    Args:
+        model: multibody model.
+        params: :class:`MultibodyParams`.
+        q: ``(n_q,)`` configuration.
+
+    Returns:
+        phi: ``(n_contacts,)`` signed distances.
+        J: ``(3 n_contacts, n_v)`` contact Jacobian ``[J_n; mu J_t]``.
+    """
+    kin = body_kinematics(model, q)
+    R_WG, p_WG, Jw_G, Jv_G = geometry_kinematics(model, kin, q)
+    mu_all = params.friction_coefficients()
+
+    phi_list = []
+    jac_rows = []  # per contact: (3, n_v) relative velocity Jacobian rows
+    mu_list = []
+
+    for pair_index, (a, b) in enumerate(model.collision_candidates):
+        spec_a = model.geometries[a]
+        spec_b = model.geometries[b]
+        R_WA, p_WA = R_WG[a], p_WG[a]
+        R_WB, p_WB = R_WG[b], p_WG[b]
+
+        R_AB = R_WA.T @ R_WB
+        p_AoBo_A = R_WA.T @ (p_WB - p_WA)
+
+        phi_i, R_AC, p_AoAc_A, p_BoBc_B = geometry_mod.collide(
+            spec_a, params.geometry[a], spec_b, params.geometry[b],
+            R_AB, p_AoBo_A)
+
+        # Contact frames in world coordinates, (n_c, 3, 3).
+        R_WF = R_WA @ R_AC
+
+        # Witness-point velocity Jacobians: shift body-origin Jacobians to
+        # the contact points (reference multibody_terms.py:384-399).
+        off_A_W = p_AoAc_A @ R_WA.T                     # (n_c, 3)
+        off_B_W = p_BoBc_B @ R_WB.T
+        J_Ac = Jv_G[a][None] - skew_symmetric(off_A_W) @ Jw_G[a][None]
+        J_Bc = Jv_G[b][None] - skew_symmetric(off_B_W) @ Jw_G[b][None]
+
+        # Relative contact-point velocity in the contact frame, rows
+        # ordered [t_x, t_y, n] with n = z (reference geometry contract).
+        J_rel_F = jnp.swapaxes(R_WF, -1, -2) @ (J_Bc - J_Ac)   # (n_c, 3, n_v)
+
+        # Drake-style friction combination (multibody_terms.py:471).
+        mu_a, mu_b = mu_all[a], mu_all[b]
+        mu_pair = (2.0 * mu_a * mu_b) / (mu_a + mu_b)
+
+        phi_list.append(phi_i)
+        jac_rows.append(J_rel_F)
+        mu_list.append(
+            jnp.broadcast_to(mu_pair, (phi_i.shape[0],)))
+
+    phi = jnp.concatenate(phi_list, axis=0)                    # (k,)
+    J_rel = jnp.concatenate(jac_rows, axis=0)                  # (k, 3, n_v)
+    mu = jnp.concatenate(mu_list, axis=0)                      # (k,)
+
+    # Assemble [J_n; mu J_t] (reference multibody_terms.py:401-426).
+    J_n = J_rel[:, 2, :]                                       # (k, n_v)
+    J_t = (mu[:, None, None] * J_rel[:, :2, :]).reshape(
+        -1, J_rel.shape[-1])                                   # (2k, n_v)
+    J = jnp.concatenate((J_n, J_t), axis=0)                    # (3k, n_v)
+    return phi, J
+
+
+def multibody_terms(model, params, q: Array, v: Array,
+                    u: Array) -> Tuple[Array, Array, Array, Array, Array]:
+    """All dynamics terms at a state: ``(D, M, J, phi, a_nc)``.
+
+    Matches the contract of reference ``MultibodyTerms.forward``
+    (``multibody_terms.py:584-609``): Delassus operator
+    ``D = J M^{-1} J^T``, mass matrix ``M``, contact Jacobian ``J``, signed
+    distances ``phi``, and contact-free acceleration ``M^{-1} F``.
+
+    Args:
+        model: multibody model.
+        params: :class:`MultibodyParams`.
+        q: ``(n_q,)`` configuration; v: ``(n_v,)`` velocity; u: ``(n_u,)``.
+
+    Returns:
+        delassus ``(3k, 3k)``, M ``(n_v, n_v)``, J ``(3k, n_v)``,
+        phi ``(k,)``, a_nc ``(n_v,)``.
+    """
+    pi_cm = params.pi_cm()
+    M, F = lagrangian_terms(model, pi_cm, q, v, u)
+    phi, J = contact_terms(model, params, q)
+
+    chol = jax.scipy.linalg.cho_factor(M)
+    Minv_JT = jax.scipy.linalg.cho_solve(chol, J.T)            # (n_v, 3k)
+    delassus = J @ Minv_JT
+    a_nc = jax.scipy.linalg.cho_solve(chol, F)
+    return delassus, M, J, phi, a_nc
