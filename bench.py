@@ -1,0 +1,101 @@
+"""Benchmark: batched cube-toss ContactNets training throughput on TPU.
+
+Headline metric (per BASELINE.md): **batched cube-toss contact
+steps/sec/chip** — full training-step transitions (multibody terms +
+Lorentz-cone QP contact solve + ContactNets loss + gradient + Adam update)
+per second on one chip.
+
+``vs_baseline`` compares against the reference-architecture CPU stand-in
+measured by ``bench_baseline_torch.py`` (torch CPU float64, same
+algorithm, batch 256 — cached in ``baseline_cpu.json``; the true reference
+stack (Drake+sappy) cannot run in this image and publishes no numbers,
+see BASELINE.md).
+
+Prints ONE JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dair_pll_tpu.assets import get_asset
+    from dair_pll_tpu.multibody.learnable_system import (
+        MultibodyLearnableSystem)
+    from dair_pll_tpu.urdf import build_multibody_model
+
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, 0.0068)
+    params = model.initial_params(jnp.float32)
+    n_u = model.n_u
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    def train_step(params, opt_state, x, x_plus):
+        def mean_loss(p):
+            u = jnp.zeros((x.shape[0], n_u), x.dtype)
+            return jnp.mean(system.contactnets_loss_batch(p, x, u, x_plus))
+
+        loss, grads = jax.value_and_grad(mean_loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    key = jax.random.PRNGKey(0)
+    best = 0.0
+    best_batch = 0
+    for batch in (4096, 16384, 65536):
+        k1, k2, key = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (batch, 13), jnp.float32)
+        quat = x[:, :4] / jnp.linalg.norm(x[:, :4], axis=-1, keepdims=True)
+        height = 0.06 + 0.05 * jax.random.uniform(k2, (batch, 1))
+        x = jnp.concatenate(
+            (quat, x[:, 4:6] * 0.1, height, x[:, 7:] * 0.5), axis=-1)
+        x_plus = x + 0.005 * jax.random.normal(k2, (batch, 13))
+        x_plus = x_plus.at[:, :4].set(
+            x_plus[:, :4] / jnp.linalg.norm(x_plus[:, :4], axis=-1,
+                                            keepdims=True))
+
+        p, s = params, opt_state
+        p, s, loss = step(p, s, x, x_plus)      # compile + warmup
+        jax.block_until_ready(loss)
+
+        n_iters = 20
+        start = time.time()
+        for _ in range(n_iters):
+            p, s, loss = step(p, s, x, x_plus)
+        jax.block_until_ready(loss)
+        elapsed = time.time() - start
+        throughput = n_iters * batch / elapsed
+        if throughput > best:
+            best = throughput
+            best_batch = batch
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path, "r", encoding="utf-8") as handle:
+            baseline = json.load(handle)
+        vs_baseline = best / baseline["transitions_per_sec"]
+
+    print(json.dumps({
+        "metric": "cube-toss contactnets train contact steps/sec/chip",
+        "value": round(best, 1),
+        "unit": f"transitions/sec (batch {best_batch})",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

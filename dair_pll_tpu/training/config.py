@@ -1,0 +1,68 @@
+r"""Experiment configuration dataclasses.
+
+Mirrors the reference's ``experiment_config.py``
+(``/root/reference/dair_pll/experiment_config.py:12-71``) with the same
+hyperparameter-typed optimizer fields and default priors.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from dair_pll_tpu.data.config import DataConfig
+from dair_pll_tpu.hyperparameter import Float, Int
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    """Base class for configs describing a system (reference
+    ``experiment_config.py:12-16``)."""
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    """Optimizer configuration (Adam via optax).
+
+    Default hyperpriors match reference ``experiment_config.py:19-34``:
+    lr = 1e-5 (log), wd = 4e-5 (log), batch = 64 (log), epochs = 1e4,
+    patience = 30.
+    """
+    lr: Float = dataclasses.field(default_factory=lambda: Float(1e-5))
+    wd: Float = dataclasses.field(default_factory=lambda: Float(4e-5))
+    patience: int = 30
+    epochs: int = 10000
+    batch_size: Int = dataclasses.field(default_factory=lambda: Int(64))
+
+
+@dataclasses.dataclass
+class SupervisedLearningExperimentConfig:
+    """Complete experiment configuration (reference
+    ``experiment_config.py:37-71``).
+
+    Attributes:
+        data_config: dataset layout and splits.
+        base_config: config of the ground-truth data-generating system.
+        learnable_config: config of the system to be trained.
+        optimizer_config: optimization settings.
+        storage: storage tree root directory.
+        run_name: run identifier (subdirectory under ``runs/``).
+        run_wandb / wandb_project: external experiment tracking (optional;
+          local JSONL logging always happens).
+        full_evaluation_period: epochs between full trajectory evaluations.
+        full_evaluation_samples: trajectories per full evaluation.
+        update_geometry_in_videos: regenerate visualization geometry.
+    """
+    data_config: DataConfig = dataclasses.field(default_factory=DataConfig)
+    base_config: SystemConfig = dataclasses.field(
+        default_factory=SystemConfig)
+    learnable_config: SystemConfig = dataclasses.field(
+        default_factory=SystemConfig)
+    optimizer_config: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig)
+    storage: str = "./storage"
+    run_name: str = "default_run"
+    run_wandb: bool = False
+    wandb_project: Optional[str] = None
+    full_evaluation_period: int = 1
+    full_evaluation_samples: int = 5
+    update_geometry_in_videos: bool = False

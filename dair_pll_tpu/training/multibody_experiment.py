@@ -1,0 +1,122 @@
+r"""Multibody system-identification experiments.
+
+Rebuild of the reference's ``drake_experiment.py``
+(``/root/reference/dair_pll/drake_experiment.py:23-224``) without Drake:
+the base (ground-truth) system is the same JAX multibody engine evaluated
+at the URDF's true parameters, and the learnable system starts from those
+URDFs and optimizes inertia/friction/geometry.
+
+``MultibodyLosses.CONTACTNETS_LOSS`` swaps the training loss to the
+ContactNets implicit loss exactly as the reference does
+(``drake_experiment.py:174-175,202-224``): the loss consumes
+``x = x_past[..., -1, :]`` and ``x_plus = x_future[..., 0, :]``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from dair_pll_tpu.multibody.learnable_system import MultibodyLearnableSystem
+from dair_pll_tpu.training.config import (SupervisedLearningExperimentConfig,
+                                          SystemConfig)
+from dair_pll_tpu.training.experiment import SupervisedLearningExperiment
+from dair_pll_tpu.urdf import build_multibody_model
+from dair_pll_tpu.utils import file_utils
+
+
+class MultibodyLosses(enum.Enum):
+    """Training-loss selection (reference ``drake_experiment.py:30-33``)."""
+    PREDICTION_LOSS = 1
+    CONTACTNETS_LOSS = 2
+
+
+@dataclasses.dataclass
+class MultibodySystemConfig(SystemConfig):
+    """Ground-truth multibody system description (role of reference
+    ``DrakeSystemConfig``, ``drake_experiment.py:23-27``)."""
+    urdfs: Dict[str, str] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class MultibodyLearnableSystemConfig(MultibodySystemConfig):
+    """Learnable multibody system description (reference
+    ``drake_experiment.py:36-43``)."""
+    loss: MultibodyLosses = MultibodyLosses.PREDICTION_LOSS
+    mesh_representation: str = "deep_support_convex"
+
+
+class MultibodyLearnableExperiment(SupervisedLearningExperiment):
+    """System identification of a contact-rich multibody system.
+
+    Plays the role of the reference's
+    ``DrakeMultibodyLearnableExperiment`` (``drake_experiment.py:164-224``).
+    """
+
+    def __init__(self, config: SupervisedLearningExperimentConfig) -> None:
+        super().__init__(config)
+        self._base_cache: Optional[Tuple[MultibodyLearnableSystem, Any]] = \
+            None
+
+    def get_base_system(self) -> Tuple[MultibodyLearnableSystem, Any]:
+        """Ground-truth system at the base URDFs' parameters."""
+        if self._base_cache is None:
+            base_config = self.config.base_config
+            assert isinstance(base_config, MultibodySystemConfig)
+            model = build_multibody_model(base_config.urdfs)
+            system = MultibodyLearnableSystem(
+                model, self.config.data_config.dt)
+            self._base_cache = (system, model.initial_params())
+        return self._base_cache
+
+    def get_learned_system(self) -> Tuple[MultibodyLearnableSystem, Any]:
+        """Learnable system initialized from its URDFs."""
+        learnable_config = self.config.learnable_config
+        assert isinstance(learnable_config, MultibodyLearnableSystemConfig)
+        model = build_multibody_model(
+            learnable_config.urdfs,
+            mesh_representation=learnable_config.mesh_representation)
+        system = MultibodyLearnableSystem(
+            model, self.config.data_config.dt)
+        return system, model.initial_params()
+
+    def loss_callback(self):
+        learnable_config = self.config.learnable_config
+        assert isinstance(learnable_config, MultibodyLearnableSystemConfig)
+        if learnable_config.loss == MultibodyLosses.PREDICTION_LOSS:
+            return super().loss_callback()
+
+        system = self.learned_system
+        assert isinstance(system, MultibodyLearnableSystem)
+        n_u = system.model.n_u
+
+        def contactnets_loss(params, x_past, x_future):
+            """Slices the transition endpoints like reference
+            ``drake_experiment.py:202-224``."""
+            x = x_past[..., -1, :]
+            x_plus = x_future[..., 0, :]
+            u = jnp.zeros(x.shape[:-1] + (n_u,), x.dtype)
+            return system.contactnets_loss_batch(params, x, u, x_plus)
+
+        return contactnets_loss
+
+    def generate_updated_urdfs(self, params: Any) -> Dict[str, str]:
+        """Exports the learned parameters as URDFs (reference
+        ``multibody_learnable_system.py:82-102``)."""
+        from dair_pll_tpu.urdf_export import (
+            represent_multibody_terms_as_urdfs)
+        assert isinstance(self.learned_system, MultibodyLearnableSystem)
+        output_dir = file_utils.urdf_dir(self.config.storage,
+                                         self.config.run_name)
+        urdf_strings = represent_multibody_terms_as_urdfs(
+            self.learned_system.model, params, output_dir)
+        new_urdfs = {}
+        for name, urdf_string in urdf_strings.items():
+            original = dict(self.learned_system.model.urdf_paths)[name]
+            path = os.path.join(output_dir, os.path.basename(original))
+            file_utils.save_string(path, urdf_string)
+            new_urdfs[name] = path
+        return new_urdfs
