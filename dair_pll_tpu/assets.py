@@ -110,6 +110,33 @@ def _cube_obj() -> str:
     return "\n".join(lines) + "\n"
 
 
+def cube_mjcf_template() -> str:
+    """MJCF template for the cube-toss cross-validation oracle, with
+    ``$solrefarg1/$solrefarg2/$dt`` placeholders filled by
+    :class:`~dair_pll_tpu.mujoco_system.MuJoCoSystem` (role of the
+    reference's ``assets/cube_mujoco.xml`` template,
+    ``mujoco_system.py:58-68``). Uses this framework's cube constants."""
+    half = CUBE_EDGE / 2
+    return f"""<mujoco model="cube_toss">
+  <option timestep="$dt">
+    <flag refsafe="disable"/>
+  </option>
+  <worldbody>
+    <geom name="floor" pos="0 0 0" size="5 5 0.1" type="plane"
+          solref="$solrefarg1 $solrefarg2" friction="{CUBE_MU} 0.005 0.0001"/>
+    <body name="cube" pos="0 0 0">
+      <inertial pos="0 0 0" mass="{CUBE_MASS}"
+                fullinertia="{CUBE_INERTIA} {CUBE_INERTIA} {CUBE_INERTIA} 0 0 0"/>
+      <freejoint name="cube_free"/>
+      <geom name="cube_geom" type="box" size="{half} {half} {half}"
+            solref="$solrefarg1 $solrefarg2"
+            friction="{CUBE_MU} 0.005 0.0001"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
 def write_assets(directory: str) -> Dict[str, str]:
     """Writes all benchmark assets into a directory.
 
@@ -133,6 +160,11 @@ def write_assets(directory: str) -> Dict[str, str]:
         with open(path, "w", encoding="utf-8") as handle:
             handle.write(content)
         paths[name] = path
+
+    mjcf_path = os.path.join(directory, "cube_mujoco.xml")
+    with open(mjcf_path, "w", encoding="utf-8") as handle:
+        handle.write(cube_mjcf_template())
+    paths["cube_mjcf"] = mjcf_path
     return paths
 
 

@@ -181,7 +181,7 @@ def project_lorentz(vectors: Array) -> Array:
     normals = vectors[..., :k]
     tangents = vectors[..., k:]
     t_pairs = tangents.reshape(tangents.shape[:-1] + (k, 2))
-    eps = jnp.asarray(1e-12, dtype=vectors.dtype)
+    eps = jnp.asarray(1e-30, dtype=vectors.dtype)
     t_sq = jnp.sum(t_pairs * t_pairs, axis=-1)
     t_norm = jnp.sqrt(jnp.maximum(t_sq, eps))
 

@@ -1,0 +1,157 @@
+r"""Hyperparameter optimization and dataset-size sweep studies.
+
+Rebuild of the reference's ``study.py``
+(``/root/reference/dair_pll/study.py:27-203``). The reference delegates
+search to optuna (TPE sampler + Hyperband pruner, optional remote RDB
+server); optuna is not a dependency here, so the study layer implements a
+self-contained **random search with successive-halving (Hyperband-style)
+pruning**: trials are sampled from the hyperparameter distributions
+embedded in the config (``dair_pll_tpu.hyperparameter``), run in rungs of
+increasing epoch budget, and the worst fraction is pruned at each rung.
+
+Trials are embarrassingly parallel — the natural multi-slice decomposition
+(mirroring the reference's parallel-trials-over-RDB design,
+``study.py:134-148``); each trial's inner training step is itself
+data-parallel over the chip mesh.
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+import math
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from dair_pll_tpu.hyperparameter import (generate_suggestion,
+                                         hyperparameter_values,
+                                         load_suggestion)
+from dair_pll_tpu.training.config import SupervisedLearningExperimentConfig
+from dair_pll_tpu.utils import file_utils
+
+ExperimentFactory = Callable[[SupervisedLearningExperimentConfig], Any]
+
+
+@dataclasses.dataclass
+class StudyConfig:
+    """Study configuration (role of reference ``StudyConfig``,
+    ``study.py:27-38``).
+
+    Attributes:
+        experiment_factory: builds an experiment from a config.
+        base_config: template experiment config (with hyperparameter
+          objects embedded).
+        study_name: name for the storage tree.
+        n_trials: total trials to sample.
+        min_epochs: epoch budget of the first rung.
+        reduction_factor: successive-halving reduction per rung (eta).
+        seed: sampling seed.
+    """
+    experiment_factory: ExperimentFactory
+    base_config: SupervisedLearningExperimentConfig
+    study_name: str = "study"
+    n_trials: int = 16
+    min_epochs: int = 2
+    reduction_factor: int = 2
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class Trial:
+    """One hyperparameter trial's bookkeeping."""
+    index: int
+    suggestion: Dict[str, Any]
+    valid_loss: float = math.inf
+    epochs_run: int = 0
+    pruned: bool = False
+
+
+class Study:
+    """Runs hyperparameter optimization over an experiment config."""
+
+    def __init__(self, config: StudyConfig) -> None:
+        self.config = config
+
+    def _run_trial(self, trial: Trial, epochs: int) -> float:
+        """(Re)runs a trial up to ``epochs`` epochs, resuming from its
+        checkpoint if present; returns best validation loss."""
+        config = copy.deepcopy(self.config.base_config)
+        load_suggestion(config, trial.suggestion)
+        config.optimizer_config.epochs = epochs
+        config.run_name = (f"{self.config.study_name}_trial_"
+                           f"{trial.index}")
+        experiment = self.config.experiment_factory(config)
+        _, best_valid, _ = experiment.train(lambda *args: None)
+        trial.epochs_run = epochs
+        trial.valid_loss = float(best_valid)
+        return trial.valid_loss
+
+    def optimize_hyperparameters(self) -> Dict[str, Any]:
+        """Random search + successive halving; returns (and saves) the
+        best hyperparameter values (role of reference
+        ``optimize_hyperparameters``, ``study.py:127-160``)."""
+        study_config = self.config
+        rng = np.random.default_rng(study_config.seed)
+
+        trials: List[Trial] = []
+        for index in range(study_config.n_trials):
+            config = copy.deepcopy(study_config.base_config)
+            suggestion = generate_suggestion(config, rng)
+            trials.append(Trial(index=index, suggestion=suggestion))
+
+        active = list(trials)
+        epochs = study_config.min_epochs
+        max_epochs = study_config.base_config.optimizer_config.epochs
+        while active:
+            for trial in active:
+                self._run_trial(trial, min(epochs, max_epochs))
+            active.sort(key=lambda t: t.valid_loss)
+            if len(active) == 1 or epochs >= max_epochs:
+                break
+            keep = max(1, len(active) // study_config.reduction_factor)
+            for trial in active[keep:]:
+                trial.pruned = True
+            active = active[:keep]
+            epochs *= study_config.reduction_factor
+
+        best = min(trials, key=lambda t: t.valid_loss)
+        file_utils.save_hyperparameters(
+            study_config.base_config.storage, study_config.study_name,
+            {"values": best.suggestion, "valid_loss": best.valid_loss,
+             "trials": [dataclasses.asdict(t) for t in trials]})
+        return best.suggestion
+
+    def run_datasweep_sample(self, data_sizes: List[int],
+                             generate_data: Callable[[int], None],
+                             repetitions: int = 1) -> Dict[int, List[Dict]]:
+        """Dataset-size sweep: trains the (fixed-hyperparameter) config on
+        increasing data populations (role of reference ``study``/
+        ``run_datasweep_sample``, ``study.py:74-112``).
+
+        Args:
+            data_sizes: trajectory counts to train with.
+            generate_data: callback ensuring at least n trajectories exist.
+            repetitions: independent repetitions per size.
+
+        Returns:
+            size -> list of final statistics dictionaries.
+        """
+        results: Dict[int, List[Dict]] = {}
+        for size in data_sizes:
+            generate_data(size)
+            results[size] = []
+            for repetition in range(repetitions):
+                config = copy.deepcopy(self.config.base_config)
+                config.run_name = (f"{self.config.study_name}_sweep_"
+                                   f"{size}_{repetition}")
+                experiment = self.config.experiment_factory(config)
+                _, stats = experiment.generate_results(lambda *a: None)
+                results[size].append(stats)
+        sweep_path = os.path.join(
+            file_utils.study_dir(self.config.base_config.storage,
+                                 self.config.study_name),
+            "datasweep.pkl")
+        file_utils.save_pickle(sweep_path, results)
+        return results

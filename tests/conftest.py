@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The image's sitecustomize force-registers the axon TPU platform and
+# overrides JAX_PLATFORMS in os.environ; the config flag below wins over
+# both, pinning tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,184 @@
+"""Training stack tests: data pipeline, epoch scan, checkpoint/resume,
+end-to-end sys-id convergence (SURVEY.md §4d)."""
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dair_pll_tpu.assets import get_asset
+from dair_pll_tpu.data.config import DataConfig, TrajectorySliceConfig
+from dair_pll_tpu.data.management import (ExperimentDataManager,
+                                          slice_trajectories)
+from dair_pll_tpu.hyperparameter import (Categorical, Float, Int,
+                                         generate_suggestion,
+                                         hyperparameter_values,
+                                         load_suggestion, traverse_config)
+from dair_pll_tpu.multibody.learnable_system import MultibodyLearnableSystem
+from dair_pll_tpu.training.config import (OptimizerConfig,
+                                          SupervisedLearningExperimentConfig)
+from dair_pll_tpu.training.multibody_experiment import (
+    MultibodyLearnableExperiment, MultibodyLearnableSystemConfig,
+    MultibodyLosses, MultibodySystemConfig)
+from dair_pll_tpu.urdf import build_multibody_model
+from dair_pll_tpu.utils import file_utils
+from dair_pll_tpu.utils.checkpoint import load_checkpoint
+
+DT = 0.0068
+
+
+def test_slice_trajectories():
+    trajectory = np.arange(10)[:, None] * np.ones((1, 3))
+    past, future = slice_trajectories([trajectory], t_skip=1, t_history=2,
+                                      t_prediction=2)
+    # starts t=1..7 inclusive (need 2 future steps)
+    assert past.shape == (7, 2, 3)
+    assert future.shape == (7, 2, 3)
+    np.testing.assert_allclose(past[0, :, 0], [0, 1])
+    np.testing.assert_allclose(future[0, :, 0], [2, 3])
+
+
+def test_data_manager_split_determinism(tmp_path):
+    storage = str(tmp_path)
+    for i in range(20):
+        file_utils.save_trajectory(storage, "learning", i,
+                                   np.random.randn(10, 13))
+    config = DataConfig(dt=DT, train_fraction=0.5, valid_fraction=0.25,
+                        test_fraction=0.25)
+    manager = ExperimentDataManager(storage, config, seed=3)
+    manager.get_trajectory_sets()
+    split = manager.trajectory_set_indices()
+    assert len(split[0]) == 10 and len(split[1]) == 5 and len(split[2]) == 5
+    assert not (set(split[0]) & set(split[1]))
+
+    # restoring the split from a checkpointed copy reproduces it exactly
+    manager2 = ExperimentDataManager(storage, config, split_indices=split)
+    manager2.get_trajectory_sets()
+    assert manager2.trajectory_set_indices() == split
+
+
+def test_hyperparameters_traverse_and_suggest(rng):
+    config = OptimizerConfig(lr=Float(1e-3), wd=Float(1e-5),
+                             batch_size=Int(32))
+    found = traverse_config(config)
+    assert set(found) == {"lr", "wd", "batch_size"}
+    gen = np.random.default_rng(0)
+    suggestion = generate_suggestion(config, gen)
+    assert config.lr.value == suggestion["lr"]
+    load_suggestion(config, {"lr": 0.5})
+    assert config.lr.value == 0.5
+    values = hyperparameter_values(config)
+    assert values["lr"] == 0.5
+
+    cat = Categorical("a", ["a", "b"])
+    assert cat.sample(gen) in ("a", "b")
+
+
+@pytest.fixture(scope="module")
+def cube_training_storage(tmp_path_factory):
+    """Simulated cube-toss data from the ground-truth system."""
+    storage = str(tmp_path_factory.mktemp("storage"))
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, DT)
+    params = model.initial_params(jnp.float64)
+
+    key = jax.random.PRNGKey(0)
+    n_traj, T = 24, 30
+    keys = jax.random.split(key, n_traj)
+
+    def sample_x0(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        rot = 0.5 * jax.random.normal(k1, (3,))
+        from dair_pll_tpu.ops import quaternion
+        quat = quaternion.exp(rot)
+        pos = jnp.array([0.0, 0.0, 0.12]) + \
+            0.02 * jax.random.normal(k2, (3,))
+        vel = jax.random.normal(k3, (6,)) * \
+            jnp.array([2.0, 2.0, 2.0, 0.5, 0.5, 0.2])
+        return jnp.concatenate((quat, pos, vel))
+
+    x0 = jax.vmap(sample_x0)(keys)
+    trajectories = system.simulate_batch(params, x0, T - 1)
+    for i in range(n_traj):
+        file_utils.save_trajectory(storage, "learning", i,
+                                   np.asarray(trajectories[i],
+                                              dtype=np.float32))
+    return storage
+
+
+def make_config(storage, run_name, loss, epochs=5, lr=1e-3):
+    return SupervisedLearningExperimentConfig(
+        data_config=DataConfig(dt=DT, train_fraction=0.5,
+                               valid_fraction=0.25, test_fraction=0.25,
+                               slice_config=TrajectorySliceConfig()),
+        base_config=MultibodySystemConfig(
+            urdfs={"cube": get_asset("cube")}),
+        learnable_config=MultibodyLearnableSystemConfig(
+            urdfs={"cube": get_asset("cube")}, loss=loss),
+        optimizer_config=OptimizerConfig(
+            lr=Float(lr), wd=Float(0.0), patience=50, epochs=epochs,
+            batch_size=Int(32)),
+        storage=storage, run_name=run_name,
+    )
+
+
+def test_contactnets_training_loss_decreases(cube_training_storage):
+    config = make_config(cube_training_storage, "contactnets_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=5)
+    experiment = MultibodyLearnableExperiment(config)
+    losses = []
+    experiment.train(lambda e, p, tl, bv: losses.append(tl))
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_resume(cube_training_storage):
+    config = make_config(cube_training_storage, "resume_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=3)
+    experiment = MultibodyLearnableExperiment(config)
+    experiment.train(lambda *a: None)
+    ckpt = load_checkpoint(file_utils.checkpoint_path(
+        cube_training_storage, "resume_run"))
+    assert ckpt is not None and ckpt.finished_training
+    split_before = ckpt.split_indices
+
+    # A resumed experiment restores the identical split and reports
+    # finished without retraining.
+    experiment2 = MultibodyLearnableExperiment(config)
+    _, best_valid, best_params = experiment2.train(lambda *a: None)
+    assert experiment2.data_manager.trajectory_set_indices() == \
+        tuple(map(list, split_before)) or \
+        experiment2.data_manager.trajectory_set_indices() == split_before
+    assert np.isfinite(best_valid)
+
+
+def test_evaluation_statistics_schema(cube_training_storage):
+    config = make_config(cube_training_storage, "eval_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=2)
+    experiment = MultibodyLearnableExperiment(config)
+    best_params, stats = experiment.generate_results(lambda *a: None)
+    # reference key scheme {set}_{system}_{variable}(_mean)
+    for key in ("train_model_loss_mean", "valid_model_loss_mean",
+                "test_model_loss_mean", "train_oracle_loss_mean",
+                "train_model_trajectory_mse_mean",
+                "train_model_rot_err", "train_model_pos_err",
+                "train_delta_v_squared", "train_v_plus_squared"):
+        assert key in stats, f"missing statistic {key}"
+    assert np.isfinite(stats["valid_model_loss_mean"])
+
+
+def test_urdf_reexport_roundtrip(cube_training_storage):
+    config = make_config(cube_training_storage, "export_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=1)
+    experiment = MultibodyLearnableExperiment(config)
+    _, _, best_params = experiment.train(lambda *a: None)
+    new_urdfs = experiment.generate_updated_urdfs(best_params)
+    assert "cube" in new_urdfs and os.path.exists(new_urdfs["cube"])
+    # re-exported URDF parses back into an equivalent model
+    model2 = build_multibody_model({"cube": new_urdfs["cube"]})
+    assert model2.n_q == 7 and model2.n_contacts == 4
+    params2 = model2.initial_params()
+    mu_exported = float(np.abs(np.asarray(params2.friction))[1])
+    mu_learned = float(np.abs(np.asarray(best_params.friction))[1])
+    assert mu_exported == pytest.approx(mu_learned, rel=1e-5)
