@@ -62,7 +62,9 @@ def slice_trajectories(trajectories: Sequence[np.ndarray], t_skip: int,
     pasts, futures = [], []
     for trajectory in trajectories:
         T = trajectory.shape[0]
-        for t in range(t_skip + t_history - 1, T - t_prediction):
+        # Predict-from times start at t_skip (the slice config guarantees
+        # t_skip + 1 >= t_history, so the history window is in range).
+        for t in range(t_skip, T - t_prediction):
             pasts.append(trajectory[t - t_history + 1:t + 1])
             futures.append(trajectory[t + 1:t + 1 + t_prediction])
     if not pasts:

@@ -142,6 +142,67 @@ def lagrangian_terms(model, pi_cm: Array, q: Array, v: Array,
     return M, gravity + actuation - coriolis
 
 
+def lagrangian_terms_from_kinematics(model, pi_cm: Array, kin, kin_dot,
+                                     v: Array, u: Array
+                                     ) -> Tuple[Array, Array]:
+    """Mass matrix and generalized force from a precomputed kinematics
+    primal/tangent pair (the hot-path variant of :func:`lagrangian_terms`
+    that shares one FK+JVP sweep with the contact terms; see
+    ``terms.multibody_terms``).
+
+    Args:
+        model: multibody model.
+        pi_cm: ``(n_bodies, 10)`` inertial parameters.
+        kin: :class:`BodyKinematics` at the configuration.
+        kin_dot: its time derivative (JVP along ``dq/dt``).
+        v: ``(n_v,)`` generalized velocity.
+        u: ``(n_u,)`` actuation input.
+
+    Returns:
+        (M, F) as in :func:`lagrangian_terms`.
+    """
+    dtype = v.dtype
+    mass = pi_cm[:, 0]
+    c_B = pi_cm[:, 1:4] / mass[:, None]
+    I_cm_B = inertia_mod.inertia_matrix_from_vector(pi_cm[:, 4:])
+
+    c_W = jnp.einsum("bij,bj->bi", kin.R_WB, c_B)
+    c_W_dot = jnp.einsum("bij,bj->bi", kin_dot.R_WB, c_B)
+    Jw, Jw_dot = kin.Jw, kin_dot.Jw
+    J_cm = kin.Jv - skew_symmetric(c_W) @ Jw
+    J_cm_dot = (kin_dot.Jv - skew_symmetric(c_W_dot) @ Jw -
+                skew_symmetric(c_W) @ Jw_dot)
+
+    omega = Jw @ v
+    omega_dot_bias = Jw_dot @ v
+    a_cm_bias = J_cm_dot @ v
+
+    I_cm_W = kin.R_WB @ I_cm_B @ jnp.swapaxes(kin.R_WB, -1, -2)
+    M = (jnp.einsum("b,bai,baj->ij", mass, J_cm, J_cm) +
+         jnp.einsum("bxi,bxy,byj->ij", Jw, I_cm_W, Jw))
+
+    I_omega = jnp.einsum("bij,bj->bi", I_cm_W, omega)
+    torque_bias = (jnp.einsum("bij,bj->bi", I_cm_W, omega_dot_bias) +
+                   jnp.cross(omega, I_omega))
+    force_bias = mass[:, None] * a_cm_bias
+    coriolis = (jnp.einsum("bai,ba->i", Jw, torque_bias) +
+                jnp.einsum("bai,ba->i", J_cm, force_bias))
+
+    g_W = jnp.asarray([0.0, 0.0, -GRAVITY_ACCELERATION], dtype)
+    gravity = jnp.einsum("bai,b,a->i", J_cm, mass, g_W)
+
+    actuation = jnp.zeros((model.n_v,), dtype)
+    if model.n_u > 0:
+        u_index = 0
+        for body_index, body in enumerate(model.bodies):
+            if body.joint.joint_type == "revolute" and body.joint.actuated:
+                v_off = model.body_v_offset(body_index)
+                actuation = actuation.at[v_off].add(u[u_index])
+                u_index += 1
+
+    return M, gravity + actuation - coriolis
+
+
 def non_contact_acceleration(model, pi_cm: Array, q: Array, v: Array,
                              u: Array) -> Tuple[Array, Array]:
     """Mass matrix and contact-free acceleration ``M(q)^{-1} F(q, v, u)``.

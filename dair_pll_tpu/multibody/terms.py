@@ -47,6 +47,12 @@ def contact_terms(model, params, q: Array) -> Tuple[Array, Array]:
     """
     kin = body_kinematics(model, q)
     R_WG, p_WG, Jw_G, Jv_G = geometry_kinematics(model, kin, q)
+    return _assemble_contact_terms(model, params, R_WG, p_WG, Jw_G, Jv_G)
+
+
+def _assemble_contact_terms(model, params, R_WG, p_WG, Jw_G,
+                            Jv_G) -> Tuple[Array, Array]:
+    """Collision sweep + Jacobian assembly from geometry kinematics."""
     mu_all = params.friction_coefficients()
 
     phi_list = []
@@ -101,6 +107,14 @@ def contact_terms(model, params, q: Array) -> Tuple[Array, Array]:
     return phi, J
 
 
+def _contact_terms_from_kinematics(model, params, kin, q: Array
+                                   ) -> Tuple[Array, Array]:
+    """Contact terms given precomputed body kinematics (hot-path variant
+    sharing FK with the Lagrangian terms)."""
+    R_WG, p_WG, Jw_G, Jv_G = geometry_kinematics(model, kin, q)
+    return _assemble_contact_terms(model, params, R_WG, p_WG, Jw_G, Jv_G)
+
+
 def multibody_terms(model, params, q: Array, v: Array,
                     u: Array) -> Tuple[Array, Array, Array, Array, Array]:
     """All dynamics terms at a state: ``(D, M, J, phi, a_nc)``.
@@ -109,6 +123,12 @@ def multibody_terms(model, params, q: Array, v: Array,
     (``multibody_terms.py:584-609``): Delassus operator
     ``D = J M^{-1} J^T``, mass matrix ``M``, contact Jacobian ``J``, signed
     distances ``phi``, and contact-free acceleration ``M^{-1} F``.
+
+    Forward kinematics and its time-derivative (for Coriolis terms) are
+    computed ONCE and shared between the Lagrangian and contact terms —
+    the dominant cost at large batch is this kinematics sweep, so the
+    sharing matters (the reference instead evaluates separate codegen'd
+    callbacks per term family, ``multibody_terms.py:584-609``).
 
     Args:
         model: multibody model.
@@ -119,9 +139,19 @@ def multibody_terms(model, params, q: Array, v: Array,
         delassus ``(3k, 3k)``, M ``(n_v, n_v)``, J ``(3k, n_v)``,
         phi ``(k,)``, a_nc ``(n_v,)``.
     """
+    from dair_pll_tpu.multibody.dynamics import (
+        lagrangian_terms_from_kinematics)
+    from dair_pll_tpu.multibody.kinematics import (body_kinematics,
+                                                   configuration_rate)
+
     pi_cm = params.pi_cm()
-    M, F = lagrangian_terms(model, pi_cm, q, v, u)
-    phi, J = contact_terms(model, params, q)
+    qdot = configuration_rate(model, q, v)
+    kin, kin_dot = jax.jvp(
+        lambda q_inner: body_kinematics(model, q_inner), (q,), (qdot,))
+
+    M, F = lagrangian_terms_from_kinematics(model, pi_cm, kin, kin_dot, v,
+                                            u)
+    phi, J = _contact_terms_from_kinematics(model, params, kin, q)
 
     chol = jax.scipy.linalg.cho_factor(M)
     Minv_JT = jax.scipy.linalg.cho_solve(chol, J.T)            # (n_v, 3k)

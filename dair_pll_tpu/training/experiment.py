@@ -267,6 +267,9 @@ class SupervisedLearningExperiment:
         rng = np.random.default_rng(713 + state.epoch)
 
         train_set, valid_set, _ = self.data_manager.get_trajectory_sets()
+        # The manager assigns trajectories lazily on first scan; record the
+        # realized split so resume restores the identical partition.
+        state.split_indices = self.data_manager.trajectory_set_indices()
         train_past = jnp.asarray(train_set.slices_past)
         train_future = jnp.asarray(train_set.slices_future)
         valid_past = jnp.asarray(valid_set.slices_past)
