@@ -148,6 +148,13 @@ class SupervisedLearningExperiment:
 
         return loss
 
+    def parameter_update_mask(self, params: Any) -> Optional[Any]:
+        """Optional 0/1 pytree multiplying gradients before the optimizer
+        update (e.g. to pin unobservable parameter directions). ``None``
+        means no masking."""
+        del params
+        return None
+
     # -- setup ---------------------------------------------------------------
     def setup_training(self):
         """Builds systems, data, optimizer, and resumes from checkpoint if
@@ -212,12 +219,16 @@ class SupervisedLearningExperiment:
         @jax.jit
         def epoch_fn(params, opt_state, past, future, perm):
             batches = perm.reshape(-1, batch_size)
+            update_mask = self.parameter_update_mask(params)
 
             def step(carry, batch_indices):
                 params, opt_state = carry
                 x_past = jnp.take(past, batch_indices, axis=0)
                 x_future = jnp.take(future, batch_indices, axis=0)
                 loss, grads = grad_fn(params, x_past, x_future)
+                if update_mask is not None:
+                    grads = jax.tree_util.tree_map(
+                        lambda g, m: g * m, grads, update_mask)
                 updates, opt_state = optimizer.update(
                     grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

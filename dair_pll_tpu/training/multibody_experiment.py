@@ -44,9 +44,17 @@ class MultibodySystemConfig(SystemConfig):
 @dataclasses.dataclass
 class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     """Learnable multibody system description (reference
-    ``drake_experiment.py:36-43``)."""
+    ``drake_experiment.py:36-43``).
+
+    ``fix_inertial_scale`` pins the first body's overall inertial scale
+    (the ``alpha`` of its ``theta`` parameterization). For a passive system
+    the absolute mass/inertia scale is unobservable — the ContactNets loss
+    is homogeneous in it, so an unconstrained scale direction collapses
+    toward zero over long training (the reference inherits the same
+    degeneracy; we pin it by default)."""
     loss: MultibodyLosses = MultibodyLosses.PREDICTION_LOSS
     mesh_representation: str = "deep_support_convex"
+    fix_inertial_scale: bool = True
 
 
 class MultibodyLearnableExperiment(SupervisedLearningExperiment):
@@ -102,6 +110,19 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
             return system.contactnets_loss_batch(params, x, u, x_plus)
 
         return contactnets_loss
+
+    def parameter_update_mask(self, params: Any) -> Optional[Any]:
+        """Zeroes the gradient of body 0's inertial-scale coordinate
+        ``theta[0, 0]`` when ``fix_inertial_scale`` is set (see the config
+        docstring)."""
+        learnable_config = self.config.learnable_config
+        assert isinstance(learnable_config, MultibodyLearnableSystemConfig)
+        if not learnable_config.fix_inertial_scale:
+            return None
+        import jax
+        mask = jax.tree_util.tree_map(jnp.ones_like, params)
+        mask.theta = mask.theta.at[0, 0].set(0.0)
+        return mask
 
     def generate_updated_urdfs(self, params: Any) -> Dict[str, str]:
         """Exports the learned parameters as URDFs (reference
