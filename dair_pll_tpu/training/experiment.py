@@ -482,6 +482,15 @@ class SupervisedLearningExperiment:
         stats.update(summary)
         return stats
 
+    def base_and_learned_comparison_summary(self, statistics: Dict,
+                                            best_params: Any) -> Dict:
+        """Optional rich-media comparison (e.g. overlay videos) built from
+        the evaluation statistics; returns a videos dict. Subclasses
+        override (role of reference ``experiment.py:365-378`` /
+        ``drake_experiment.py:119-161``)."""
+        del statistics, best_params
+        return {}
+
     def _evaluation(self, best_params: Any) -> Dict:
         """Final oracle-vs-model evaluation on all sets, saved to disk
         (reference ``experiment.py:798-824``)."""
@@ -495,6 +504,10 @@ class SupervisedLearningExperiment:
         evaluation = self.evaluate_systems_on_sets(systems, sets)
         file_utils.save_evaluation(self.config.storage,
                                    self.config.run_name, evaluation)
+        videos = self.base_and_learned_comparison_summary(
+            evaluation, best_params)
+        if videos and self.log_manager is not None:
+            self.log_manager.update(-1, {}, videos, {})
         return evaluation
 
     def generate_results(self, epoch_callback: EpochCallback =

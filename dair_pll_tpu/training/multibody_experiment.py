@@ -111,6 +111,28 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
 
         return contactnets_loss
 
+    def base_and_learned_comparison_summary(self, statistics: Dict,
+                                            best_params: Any) -> Dict:
+        """Overlay video of the first saved test trajectory pair (role of
+        reference ``drake_experiment.py:119-161`` via Drake rendering; here
+        rendered host-side by ``vis_utils``)."""
+        target_key = "test_model_target_sample"
+        prediction_key = "test_model_prediction_sample"
+        if target_key not in statistics or not statistics[target_key]:
+            return {}
+        try:
+            from dair_pll_tpu.vis_utils import visualize_trajectory
+            assert isinstance(self.learned_system,
+                              MultibodyLearnableSystem)
+            video, fps = visualize_trajectory(
+                self.learned_system.model, best_params,
+                statistics[target_key][0],
+                statistics[prediction_key][0],
+                self.config.data_config.dt)
+            return {"test_trajectory_overlay": (video, fps)}
+        except Exception:
+            return {}
+
     def parameter_update_mask(self, params: Any) -> Optional[Any]:
         """Zeroes the gradient of body 0's inertial-scale coordinate
         ``theta[0, 0]`` when ``fix_inertial_scale`` is set (see the config

@@ -64,6 +64,15 @@ class ExperimentLogManager:
                     os.path.join(mesh_dir, f"{name}_{epoch}.obj"),
                     mesh_to_obj(mesh))
 
+        if videos:
+            video_dir = os.path.join(
+                file_utils.run_dir(self.storage, self.run_name), "videos")
+            os.makedirs(video_dir, exist_ok=True)
+            for name, (video, fps) in videos.items():
+                np.savez_compressed(
+                    os.path.join(video_dir, f"{name}_{epoch}.npz"),
+                    video=video, fps=fps)
+
         if self._wandb is not None:
             import wandb  # type: ignore
             payload: Dict = dict(record)

@@ -91,7 +91,7 @@ def main(system, source, contactnets, box, real_data_dir, storage,
         space = base.space
         # Initial-condition distribution: tossed above the plane with
         # randomized pose and velocity (role of reference :57-71).
-        x_0 = np.asarray(space.zero_state(jnp.float32))
+        x_0 = np.array(space.zero_state(jnp.float32))
         x_0[6] = 0.21 if system == "cube" else 0.3
         ranges = np.ones(2 * space.n_v, dtype=np.float32)
         ranges[:3] = 2 * np.pi          # orientation
