@@ -120,7 +120,8 @@ class MultibodyLearnableSystem(System):
         active = broadcast_lorentz(phi) <= CONTACT_FILTER_EPS
         impulse = jnp.where(active, impulse, jnp.zeros_like(impulse))
 
-        dv = jnp.linalg.solve(M, J.T @ impulse)
+        from dair_pll_tpu.ops.linear import spd_solve
+        dv = spd_solve(M, J.T @ impulse)
         return v_minus + dv
 
     def _partial_step(self, params: MultibodyParams, x: Array,

@@ -153,8 +153,12 @@ def multibody_terms(model, params, q: Array, v: Array,
                                             u)
     phi, J = _contact_terms_from_kinematics(model, params, kin, q)
 
-    chol = jax.scipy.linalg.cho_factor(M)
-    Minv_JT = jax.scipy.linalg.cho_solve(chol, J.T)            # (n_v, 3k)
+    # Unrolled small-matrix Cholesky: fuses into neighboring work instead
+    # of lowering to a (slow, batched-tiny) custom call.
+    from dair_pll_tpu.ops.linear import cho_solve_unrolled, \
+        cholesky_unrolled
+    L = cholesky_unrolled(M)
+    Minv_JT = cho_solve_unrolled(L, J.T)                       # (n_v, 3k)
     delassus = J @ Minv_JT
-    a_nc = jax.scipy.linalg.cho_solve(chol, F)
+    a_nc = cho_solve_unrolled(L, F)
     return delassus, M, J, phi, a_nc
