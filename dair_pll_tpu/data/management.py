@@ -59,6 +59,14 @@ def slice_trajectories(trajectories: Sequence[np.ndarray], t_skip: int,
         past: ``(n_slices, t_history, n_x)``.
         future: ``(n_slices, t_prediction, n_x)``.
     """
+    # Prefer the native threaded slicer (native/slicer.cpp) when built;
+    # the Python loop below is the reference implementation and fallback.
+    if len(trajectories):
+        from dair_pll_tpu.data import native
+        if native.native_available():
+            return native.slice_trajectories_native(
+                trajectories, t_skip, t_history, t_prediction)
+
     pasts, futures = [], []
     for trajectory in trajectories:
         T = trajectory.shape[0]
