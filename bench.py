@@ -85,6 +85,14 @@ def main():
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
+    if not os.path.exists(baseline_path):
+        # Measure the CPU stand-in once (torch CPU f64; ~1 minute).
+        import subprocess
+        subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_baseline_torch.py")],
+            check=False, cwd=os.path.dirname(os.path.abspath(__file__)))
     vs_baseline = None
     if os.path.exists(baseline_path):
         with open(baseline_path, "r", encoding="utf-8") as handle:
