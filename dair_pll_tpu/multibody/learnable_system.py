@@ -140,6 +140,46 @@ class MultibodyLearnableSystem(System):
         return x_next
 
     # -- ContactNets loss ------------------------------------------------------
+    def _contactnets_qp(self, params: MultibodyParams, x: Array, u: Array,
+                        x_plus: Array):
+        """Assembles the per-transition ContactNets QP pieces (unbatched).
+
+        Returns:
+            (delassus, q_vec, M, phi, dv) for the loss assembly.
+        """
+        space = self.space
+        dt = self.dt
+        v = space.v(x)
+        q_plus, v_plus = space.q_v(x_plus)
+
+        delassus, M, J, phi, a_nc = multibody_terms(
+            self.model, params, q_plus, v_plus, u)
+        k = phi.shape[-1]
+        J_t = J[k:, :]
+
+        phi_then_zero = jnp.concatenate(
+            (phi, jnp.zeros((2 * k,), phi.dtype)))
+        sliding_velocities = J_t @ v_plus                     # (2k,)
+        sliding_speeds = jnp.linalg.norm(
+            sliding_velocities.reshape(k, 2), axis=-1)        # (k,)
+
+        dv = v_plus - (v + a_nc * dt)                          # (n_v,)
+        q_pred = -(J @ dv)
+        q_comp = jnp.abs(phi_then_zero)
+        q_diss = dt * jnp.concatenate((sliding_speeds, sliding_velocities))
+        q_vec = q_pred + q_comp + q_diss
+        return delassus, q_vec, M, phi, dv
+
+    def _contactnets_loss_given_force(self, delassus, q_vec, M, phi, dv,
+                                      force, valid) -> Array:
+        """Loss assembly from QP pieces and a (detached) solved force."""
+        k = phi.shape[-1]
+        Q = delassus + LOSS_EPSILON * jnp.eye(3 * k, dtype=phi.dtype)
+        penetration_penalty = jnp.sum(jnp.maximum(-phi, 0.0) ** 2)
+        constant = 0.5 * dv @ (M @ dv) + penetration_penalty
+        loss = 0.5 * force @ (Q @ force) + force @ q_vec + constant
+        return jnp.where(valid, loss, jnp.zeros_like(loss))
+
     def contactnets_loss(self, params: MultibodyParams, x: Array, u: Array,
                          x_plus: Array) -> Array:
         r"""ContactNets implicit violation loss for one transition
@@ -167,59 +207,62 @@ class MultibodyLearnableSystem(System):
         Returns:
             scalar loss.
         """
-        space = self.space
-        dt = self.dt
-        v = space.v(x)
-        q_plus, v_plus = space.q_v(x_plus)
-        eps = LOSS_EPSILON
-
-        delassus, M, J, phi, a_nc = multibody_terms(
-            self.model, params, q_plus, v_plus, u)
-        k = phi.shape[-1]
-        J_t = J[k:, :]
-
-        phi_then_zero = jnp.concatenate(
-            (phi, jnp.zeros((2 * k,), phi.dtype)))
-
-        sliding_velocities = J_t @ v_plus                     # (2k,)
-        sliding_speeds = jnp.linalg.norm(
-            sliding_velocities.reshape(k, 2), axis=-1)        # (k,)
-
-        Q = delassus + eps * jnp.eye(3 * k, dtype=phi.dtype)
-        dv = v_plus - (v + a_nc * dt)                          # (n_v,)
-
-        q_pred = -(J @ dv)
-        q_comp = jnp.abs(phi_then_zero)
-        q_diss = dt * jnp.concatenate((sliding_speeds, sliding_velocities))
-        q_vec = q_pred + q_comp + q_diss
-
-        penetration_penalty = jnp.sum(jnp.maximum(-phi, 0.0) ** 2)
-        constant = 0.5 * dv @ (M @ dv) + penetration_penalty
-
+        delassus, q_vec, M, phi, dv = self._contactnets_qp(
+            params, x, u, x_plus)
         # Envelope theorem: the optimal force's dependence on parameters
         # does not contribute to the loss gradient, so detach the solve
-        # (reference multibody_learnable_system.py:172-184).
+        # (reference multibody_learnable_system.py:172-184). Solver
+        # failures zero the sample's contribution (reference :186-192).
         force, valid = solve_contact_impulse(
             jax.lax.stop_gradient(delassus),
             jax.lax.stop_gradient(q_vec),
-            jnp.asarray(eps, phi.dtype), self.solver_iterations)
+            jnp.asarray(LOSS_EPSILON, phi.dtype), self.solver_iterations)
         force = jax.lax.stop_gradient(force)
-
-        loss = 0.5 * force @ (Q @ force) + force @ q_vec + constant
-        # Solver-failure masking zeroes the whole sample (reference :186-192).
-        return jnp.where(valid, loss, jnp.zeros_like(loss))
+        return self._contactnets_loss_given_force(
+            delassus, q_vec, M, phi, dv, force, valid)
 
     def contactnets_loss_batch(self, params: MultibodyParams, x: Array,
-                               u: Array, x_plus: Array) -> Array:
-        """Batched ContactNets loss: ``(*, n_x) -> (*,)``."""
+                               u: Array, x_plus: Array,
+                               use_pallas: Optional[bool] = None) -> Array:
+        """Batched ContactNets loss: ``(*, n_x) -> (*,)``.
+
+        The (detached) cone solve runs once over the whole flattened batch
+        — on TPU through the fused Pallas kernel
+        (``ops/pallas_cone_solver.py``), elsewhere through the vmapped lax
+        solver — while terms assembly and loss assembly are vmapped.
+        """
         batch_shape = x.shape[:-1]
         n_batch = int(np.prod(batch_shape)) if batch_shape else 1
         flat_x = x.reshape((n_batch, x.shape[-1]))
         flat_u = u.reshape((n_batch, u.shape[-1]))
         flat_xp = x_plus.reshape((n_batch, x_plus.shape[-1]))
-        losses = jax.vmap(
-            lambda a, b, c: self.contactnets_loss(params, a, b, c))(
+
+        delassus, q_vec, M, phi, dv = jax.vmap(
+            lambda a, b, c: self._contactnets_qp(params, a, b, c))(
                 flat_x, flat_u, flat_xp)
+
+        eps = jnp.asarray(LOSS_EPSILON, phi.dtype)
+        delassus_sg = jax.lax.stop_gradient(delassus)
+        q_vec_sg = jax.lax.stop_gradient(q_vec)
+        if use_pallas is None:
+            # Measured on v5e: the fused Pallas APGD matches (does not
+            # beat) XLA's scan — the solve is dependency-chain latency
+            # bound, not HBM bound — so the portable path is the default.
+            use_pallas = False
+        if use_pallas:
+            from dair_pll_tpu.ops.pallas_cone_solver import (
+                solve_contact_impulse_pallas)
+            force, valid = solve_contact_impulse_pallas(
+                delassus_sg, q_vec_sg, eps, self.solver_iterations)
+        else:
+            force, valid = jax.vmap(
+                lambda D, qv: solve_contact_impulse(
+                    D, qv, eps, self.solver_iterations))(
+                        delassus_sg, q_vec_sg)
+        force = jax.lax.stop_gradient(force)
+
+        losses = jax.vmap(self._contactnets_loss_given_force)(
+            delassus, q_vec, M, phi, dv, force, valid)
         return losses.reshape(batch_shape)
 
     # -- logging ----------------------------------------------------------------
