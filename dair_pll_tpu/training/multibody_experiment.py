@@ -70,11 +70,16 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
             None
 
     def get_base_system(self) -> Tuple[MultibodyLearnableSystem, Any]:
-        """Ground-truth system at the base URDFs' parameters."""
+        """Ground-truth system at the base URDFs' parameters.
+
+        Mesh collision elements use their *exact* vertex polygons (not a
+        randomly initialized deep support network — that representation is
+        for the learnable system only)."""
         if self._base_cache is None:
             base_config = self.config.base_config
             assert isinstance(base_config, MultibodySystemConfig)
-            model = build_multibody_model(base_config.urdfs)
+            model = build_multibody_model(
+                base_config.urdfs, mesh_representation="polygon")
             system = MultibodyLearnableSystem(
                 model, self.config.data_config.dt)
             self._base_cache = (system, model.initial_params())

@@ -85,7 +85,10 @@ def main(system, source, contactnets, box, real_data_dir, storage,
         count = file_utils.import_data_to_storage(storage, real_data_dir)
         click.echo(f"imported {count} real trajectories")
     else:
-        model = build_multibody_model({system: urdf})
+        # Ground-truth generator: exact polygon hulls for mesh geometry
+        # (the random-init deep support network is for learning only).
+        model = build_multibody_model({system: urdf},
+                                      mesh_representation="polygon")
         base = MultibodyLearnableSystem(model, DT)
         params = model.initial_params()
         space = base.space
