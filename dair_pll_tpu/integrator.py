@@ -102,7 +102,7 @@ class Integrator:
         return x_next, carry
 
     def simulate(self, params: Any, x_0: Array, carry_0: Any,
-                 steps: int) -> Tuple[Array, Any]:
+                 steps: int, remat: bool = False) -> Tuple[Array, Any]:
         """Unbatched rollout via ``lax.scan``.
 
         Args:
@@ -110,6 +110,10 @@ class Integrator:
             x_0: ``(n_x,)`` initial state.
             carry_0: initial hidden-state pytree.
             steps: number of steps (static).
+            remat: rematerialize each step under differentiation
+              (``jax.checkpoint``), trading recompute for O(1)-per-step
+              memory on long-horizon gradient rollouts — the TPU analog of
+              sequence-length scaling for this workload (SURVEY.md §5).
 
         Returns:
             ``(steps + 1, n_x)`` trajectory (including ``x_0``) and the
@@ -120,6 +124,9 @@ class Integrator:
             x, carry = state
             x_next, carry_next = self.step(params, x, carry)
             return (x_next, carry_next), (x_next, carry_next)
+
+        if remat:
+            scan_step = jax.checkpoint(scan_step)
 
         (_, _), (xs, carries) = jax.lax.scan(
             scan_step, (x_0, carry_0), None, length=steps)

@@ -68,11 +68,16 @@ class System:
 
     # -- simulation --------------------------------------------------------
     def simulate(self, params: Any, x_0: Array, steps: int,
-                 carry_0: Optional[Any] = None) -> Array:
-        """Unbatched rollout returning ``(steps + 1, n_x)``."""
+                 carry_0: Optional[Any] = None,
+                 remat: bool = False) -> Array:
+        """Unbatched rollout returning ``(steps + 1, n_x)``.
+
+        Pass ``remat=True`` when differentiating long rollouts (gradient
+        checkpointing per step)."""
         if carry_0 is None:
             carry_0 = self.initial_carry(x_0)
-        trajectory, _ = self.integrator.simulate(params, x_0, carry_0, steps)
+        trajectory, _ = self.integrator.simulate(params, x_0, carry_0,
+                                                 steps, remat=remat)
         return trajectory
 
     def simulate_batch(self, params: Any, x_0: Array, steps: int) -> Array:
