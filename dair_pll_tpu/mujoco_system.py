@@ -166,7 +166,6 @@ class MuJoCoUKFSystem(MuJoCoSystem):
 
         def f(state, omega, w, dt):
             del omega, dt
-            import jax.numpy as jnp_inner
             x = np.asarray(space.shift_state(
                 jnp.asarray(state), jnp.asarray(w)))
             return self.step_state(x)

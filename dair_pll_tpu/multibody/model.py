@@ -26,14 +26,14 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from dair_pll_tpu import inertia as inertia_mod
 from dair_pll_tpu import state_space as space_mod
-from dair_pll_tpu.geometry import (GEOMETRY_TYPE_ORDER, CollisionGeometrySpec,
+from dair_pll_tpu.geometry import (CollisionGeometrySpec,
                                    default_geometry_params)
 
 GROUND_FRICTION = 1.0

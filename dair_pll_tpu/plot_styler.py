@@ -7,8 +7,6 @@ typography/color/grid style applied globally, plus figure save helpers.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 FIGURE_DPI = 300
 
 COLORS = ["#01256e", "#398537", "#95001a", "#9e6402", "#4a0042",

@@ -18,15 +18,13 @@ from __future__ import annotations
 
 import copy
 import dataclasses
-import json
 import math
 import os
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 
 from dair_pll_tpu.hyperparameter import (generate_suggestion,
-                                         hyperparameter_values,
                                          load_suggestion)
 from dair_pll_tpu.training.config import SupervisedLearningExperimentConfig
 from dair_pll_tpu.utils import file_utils

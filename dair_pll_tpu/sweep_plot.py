@@ -8,7 +8,7 @@ one-geometric-standard-deviation band, on log-log axes.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ import io
 import os
 import pickle
 import signal
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import numpy as np

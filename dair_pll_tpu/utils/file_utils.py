@@ -26,7 +26,7 @@ import json
 import os
 import pickle
 from glob import glob
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ plus frame rate (``vis_utils.py:118-189``), ready for experiment loggers.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
