@@ -1,0 +1,92 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dair_pll_tpu.assets import get_asset
+from dair_pll_tpu.multibody.learnable_system import MultibodyLearnableSystem
+from dair_pll_tpu.parallel.sharding import (make_data_parallel_rollout,
+                                            make_data_parallel_step,
+                                            make_mesh, replicate,
+                                            shard_batch)
+from dair_pll_tpu.urdf import build_multibody_model
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def cube_setup():
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, 0.0068, solver_iterations=60)
+    params = model.initial_params(jnp.float32)
+    rng = np.random.default_rng(0)
+    B = 16
+    x = rng.standard_normal((B, 13)).astype(np.float32)
+    x[:, :4] /= np.linalg.norm(x[:, :4], axis=-1, keepdims=True)
+    x[:, 6] = 0.06 + 0.05 * rng.random(B)
+    xp = x + 0.005 * rng.standard_normal((B, 13)).astype(np.float32)
+    xp[:, :4] /= np.linalg.norm(xp[:, :4], axis=-1, keepdims=True)
+    return system, params, jnp.asarray(x)[:, None, :], \
+        jnp.asarray(xp)[:, None, :]
+
+
+def loss_fn_for(system):
+    n_u = system.model.n_u
+
+    def loss_fn(p, x_past, x_future):
+        x = x_past[:, -1, :]
+        x_plus = x_future[:, 0, :]
+        u = jnp.zeros((x.shape[0], n_u), x.dtype)
+        return system.contactnets_loss_batch(p, x, u, x_plus)
+
+    return loss_fn
+
+
+def test_sharded_step_matches_single_device(cube_setup):
+    """One SPMD training step equals the unsharded step bitwise-closely."""
+    system, params, x_past, x_future = cube_setup
+    loss_fn = loss_fn_for(system)
+    optimizer = optax.adam(1e-3)
+
+    # single-device reference
+    def single_step(p, s, xp_, xf_):
+        loss, grads = jax.value_and_grad(
+            lambda q: jnp.mean(loss_fn(q, xp_, xf_)))(p)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    p0 = params
+    s0 = optimizer.init(p0)
+    p_ref, _, loss_ref = jax.jit(single_step)(p0, s0, x_past, x_future)
+
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_data_parallel_step(loss_fn, optimizer, mesh)
+    p_sh = replicate(params, mesh)
+    s_sh = replicate(optimizer.init(params), mesh)
+    xp_sh = shard_batch(x_past, mesh)
+    xf_sh = shard_batch(x_future, mesh)
+    p_new, _, loss_sh = step(p_sh, s_sh, xp_sh, xf_sh)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_new),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_rollout_matches(cube_setup):
+    system, params, x_past, _ = cube_setup
+    x0 = x_past[:, 0, :]
+    mesh = make_mesh(jax.devices()[:8])
+
+    def simulate_fn(p, x0_batch):
+        return system.simulate_batch(p, x0_batch, 5)
+
+    rollout = make_data_parallel_rollout(simulate_fn, mesh)
+    sharded = rollout(replicate(params, mesh), shard_batch(x0, mesh))
+    reference = jax.jit(simulate_fn)(params, x0)
+    np.testing.assert_allclose(np.asarray(sharded),
+                               np.asarray(reference), atol=1e-5)
