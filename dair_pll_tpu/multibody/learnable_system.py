@@ -160,8 +160,16 @@ class MultibodyLearnableSystem(System):
         phi_then_zero = jnp.concatenate(
             (phi, jnp.zeros((2 * k,), phi.dtype)))
         sliding_velocities = J_t @ v_plus                     # (2k,)
-        sliding_speeds = jnp.linalg.norm(
-            sliding_velocities.reshape(k, 2), axis=-1)        # (k,)
+        # Safe norm: at exactly-resting contacts (noiseless simulated
+        # data) the tangential velocity is 0 and norm's gradient is NaN;
+        # substitute 1 under the sqrt there (value exact, gradient 0).
+        sliding_sq = jnp.sum(
+            sliding_velocities.reshape(k, 2) ** 2, axis=-1)
+        at_rest = sliding_sq < 1e-24
+        sliding_speeds = jnp.sqrt(
+            jnp.where(at_rest, jnp.ones_like(sliding_sq), sliding_sq))
+        sliding_speeds = jnp.where(
+            at_rest, jnp.zeros_like(sliding_speeds), sliding_speeds)
 
         dv = v_plus - (v + a_nc * dt)                          # (n_v,)
         q_pred = -(J @ dv)

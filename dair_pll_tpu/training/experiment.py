@@ -326,6 +326,25 @@ class SupervisedLearningExperiment:
                 train_loss = float(train_loss_dev)
                 training_duration = time.time() - start
 
+                # Guard against silent divergence: solver-failure masking
+                # zeroes bad samples' losses, so non-finite PARAMETERS are
+                # the reliable signal that training has blown up.
+                finite = all(
+                    bool(jnp.all(jnp.isfinite(leaf)))
+                    for leaf in jax.tree_util.tree_leaves(params)
+                    if hasattr(leaf, "dtype") and
+                    jnp.issubdtype(leaf.dtype, jnp.floating))
+                if not finite:
+                    # Roll back to the last finite state so the finally
+                    # block checkpoints something usable.
+                    params = state.current_params
+                    opt_state = state.optimizer_state
+                    raise RuntimeError(
+                        f"non-finite parameters after epoch "
+                        f"{state.epoch}: training diverged (last train "
+                        f"loss {train_loss}); checkpoint preserves the "
+                        f"last finite state")
+
                 valid_loss = self._epoch_valid_loss(
                     eval_epoch_fn, params, valid_set, valid_past,
                     valid_future, rng, batch_size)
