@@ -30,7 +30,8 @@ from jax import Array
 from dair_pll_tpu import inertia as inertia_mod
 from dair_pll_tpu.multibody.kinematics import (body_kinematics,
                                                configuration_rate)
-from dair_pll_tpu.ops.tensor import skew_symmetric
+from dair_pll_tpu.ops.tensor import (skew_symmetric, small_matmul,
+                                     small_matvec)
 
 GRAVITY_ACCELERATION = 9.81
 
@@ -49,8 +50,8 @@ def _cm_jacobians(model, pi_cm: Array, q: Array):
     kin = body_kinematics(model, q)
     mass = pi_cm[:, 0]
     c_B = pi_cm[:, 1:4] / mass[:, None]
-    c_W = jnp.einsum("bij,bj->bi", kin.R_WB, c_B)
-    J_cm = kin.Jv - skew_symmetric(c_W) @ kin.Jw
+    c_W = small_matvec(kin.R_WB, c_B)
+    J_cm = kin.Jv - small_matmul(skew_symmetric(c_W), kin.Jw)
     return kin.Jw, J_cm, kin.R_WB
 
 
@@ -118,8 +119,8 @@ def lagrangian_terms(model, pi_cm: Array, q: Array, v: Array,
          jnp.einsum("bxi,bxy,byj->ij", Jw, I_cm_W, Jw))
 
     # Coriolis/centrifugal generalized bias force.
-    I_omega = jnp.einsum("bij,bj->bi", I_cm_W, omega)
-    torque_bias = (jnp.einsum("bij,bj->bi", I_cm_W, omega_dot_bias) +
+    I_omega = small_matvec(I_cm_W, omega)
+    torque_bias = (small_matvec(I_cm_W, omega_dot_bias) +
                    jnp.cross(omega, I_omega))
     force_bias = mass[:, None] * a_cm_bias
     coriolis = (jnp.einsum("bai,ba->i", Jw, torque_bias) +
@@ -166,23 +167,24 @@ def lagrangian_terms_from_kinematics(model, pi_cm: Array, kin, kin_dot,
     c_B = pi_cm[:, 1:4] / mass[:, None]
     I_cm_B = inertia_mod.inertia_matrix_from_vector(pi_cm[:, 4:])
 
-    c_W = jnp.einsum("bij,bj->bi", kin.R_WB, c_B)
-    c_W_dot = jnp.einsum("bij,bj->bi", kin_dot.R_WB, c_B)
+    c_W = small_matvec(kin.R_WB, c_B)
+    c_W_dot = small_matvec(kin_dot.R_WB, c_B)
     Jw, Jw_dot = kin.Jw, kin_dot.Jw
-    J_cm = kin.Jv - skew_symmetric(c_W) @ Jw
-    J_cm_dot = (kin_dot.Jv - skew_symmetric(c_W_dot) @ Jw -
-                skew_symmetric(c_W) @ Jw_dot)
+    J_cm = kin.Jv - small_matmul(skew_symmetric(c_W), Jw)
+    J_cm_dot = (kin_dot.Jv - small_matmul(skew_symmetric(c_W_dot), Jw) -
+                small_matmul(skew_symmetric(c_W), Jw_dot))
 
-    omega = Jw @ v
-    omega_dot_bias = Jw_dot @ v
-    a_cm_bias = J_cm_dot @ v
+    omega = small_matvec(Jw, v)
+    omega_dot_bias = small_matvec(Jw_dot, v)
+    a_cm_bias = small_matvec(J_cm_dot, v)
 
-    I_cm_W = kin.R_WB @ I_cm_B @ jnp.swapaxes(kin.R_WB, -1, -2)
+    I_cm_W = small_matmul(small_matmul(kin.R_WB, I_cm_B),
+                          jnp.swapaxes(kin.R_WB, -1, -2))
     M = (jnp.einsum("b,bai,baj->ij", mass, J_cm, J_cm) +
          jnp.einsum("bxi,bxy,byj->ij", Jw, I_cm_W, Jw))
 
-    I_omega = jnp.einsum("bij,bj->bi", I_cm_W, omega)
-    torque_bias = (jnp.einsum("bij,bj->bi", I_cm_W, omega_dot_bias) +
+    I_omega = small_matvec(I_cm_W, omega)
+    torque_bias = (small_matvec(I_cm_W, omega_dot_bias) +
                    jnp.cross(omega, I_omega))
     force_bias = mass[:, None] * a_cm_bias
     coriolis = (jnp.einsum("bai,ba->i", Jw, torque_bias) +

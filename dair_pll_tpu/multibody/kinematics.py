@@ -28,7 +28,8 @@ import numpy as np
 from jax import Array
 
 from dair_pll_tpu.ops import quaternion
-from dair_pll_tpu.ops.tensor import skew_symmetric
+from dair_pll_tpu.ops.tensor import (skew_symmetric, small_matmul,
+                                     small_matvec)
 
 
 class BodyKinematics(NamedTuple):
@@ -94,18 +95,18 @@ def body_kinematics(model, q: Array) -> BodyKinematics:
             p_PJ = jnp.asarray(np.asarray(joint.p_PJ), dtype)
             axis = jnp.asarray(np.asarray(joint.axis), dtype)
 
-            R_WJ = R_WP @ R_PJ
-            p_WB = p_WP + R_WP @ p_PJ
+            R_WJ = small_matmul(R_WP, R_PJ)
+            p_WB = p_WP + small_matvec(R_WP, p_PJ)
             angle = q[q_off]
-            R_WB = R_WJ @ _axis_angle_rotation(axis, angle)
+            R_WB = small_matmul(R_WJ, _axis_angle_rotation(axis, angle))
 
             # World-frame joint axis (rotation about the axis fixes it).
-            axis_W = R_WJ @ axis
+            axis_W = small_matvec(R_WJ, axis)
             r = p_WB - p_WP
             Jw = Jw_list[parent].at[:, v_off].add(axis_W)
             # v_Bo = v_Po + omega_P x r; the joint adds no origin velocity.
             Jv = (Jv_list[parent] -
-                  skew_symmetric(r) @ Jw_list[parent])
+                  small_matmul(skew_symmetric(r), Jw_list[parent]))
         elif joint.joint_type in ("fixed", "weld"):
             parent = joint.parent
             R_PJ = jnp.asarray(np.asarray(joint.R_PJ), dtype)
@@ -118,11 +119,12 @@ def body_kinematics(model, q: Array) -> BodyKinematics:
             else:
                 R_WP = R_list[parent]
                 p_WP = p_list[parent]
-                R_WB = R_WP @ R_PJ
-                p_WB = p_WP + R_WP @ p_PJ
+                R_WB = small_matmul(R_WP, R_PJ)
+                p_WB = p_WP + small_matvec(R_WP, p_PJ)
                 r = p_WB - p_WP
                 Jw = Jw_list[parent]
-                Jv = Jv_list[parent] - skew_symmetric(r) @ Jw_list[parent]
+                Jv = Jv_list[parent] - small_matmul(
+                    skew_symmetric(r), Jw_list[parent])
         else:
             raise ValueError(f"unknown joint type {joint.joint_type}")
 
@@ -207,12 +209,12 @@ def geometry_kinematics(model, kin: BodyKinematics,
             continue
         R_WB = kin.R_WB[geom.body]
         p_WB = kin.p_WB[geom.body]
-        offset_W = R_WB @ p_BG
-        R_out.append(R_WB @ R_BG)
+        offset_W = small_matvec(R_WB, p_BG)
+        R_out.append(small_matmul(R_WB, R_BG))
         p_out.append(p_WB + offset_W)
         Jw_out.append(kin.Jw[geom.body])
         Jv_out.append(
             kin.Jv[geom.body] -
-            skew_symmetric(offset_W) @ kin.Jw[geom.body])
+            small_matmul(skew_symmetric(offset_W), kin.Jw[geom.body]))
     return (jnp.stack(R_out), jnp.stack(p_out), jnp.stack(Jw_out),
             jnp.stack(Jv_out))

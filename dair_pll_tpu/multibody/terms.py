@@ -26,7 +26,8 @@ from dair_pll_tpu import geometry as geometry_mod
 from dair_pll_tpu.multibody.dynamics import lagrangian_terms
 from dair_pll_tpu.multibody.kinematics import (body_kinematics,
                                                geometry_kinematics)
-from dair_pll_tpu.ops.tensor import skew_symmetric
+from dair_pll_tpu.ops.tensor import (skew_symmetric, small_matmul,
+                                     small_matvec)
 
 
 def contact_terms(model, params, q: Array) -> Tuple[Array, Array]:
@@ -65,26 +66,31 @@ def _assemble_contact_terms(model, params, R_WG, p_WG, Jw_G,
         R_WA, p_WA = R_WG[a], p_WG[a]
         R_WB, p_WB = R_WG[b], p_WG[b]
 
-        R_AB = R_WA.T @ R_WB
-        p_AoBo_A = R_WA.T @ (p_WB - p_WA)
+        R_AB = small_matmul(R_WA.T, R_WB)
+        p_AoBo_A = small_matvec(R_WA.T, p_WB - p_WA)
 
         phi_i, R_AC, p_AoAc_A, p_BoBc_B = geometry_mod.collide(
             spec_a, params.geometry[a], spec_b, params.geometry[b],
             R_AB, p_AoBo_A)
 
-        # Contact frames in world coordinates, (n_c, 3, 3).
-        R_WF = R_WA @ R_AC
+        # Contact frames in world coordinates, (n_c, 3, 3). All the tiny
+        # matrix products below use small_matmul so they stay inside VPU
+        # fusions instead of lowering to padded batched dot_generals.
+        R_WF = small_matmul(R_WA, R_AC)
 
         # Witness-point velocity Jacobians: shift body-origin Jacobians to
         # the contact points (reference multibody_terms.py:384-399).
-        off_A_W = p_AoAc_A @ R_WA.T                     # (n_c, 3)
-        off_B_W = p_BoBc_B @ R_WB.T
-        J_Ac = Jv_G[a][None] - skew_symmetric(off_A_W) @ Jw_G[a][None]
-        J_Bc = Jv_G[b][None] - skew_symmetric(off_B_W) @ Jw_G[b][None]
+        off_A_W = small_matvec(R_WA[None], p_AoAc_A)    # (n_c, 3)
+        off_B_W = small_matvec(R_WB[None], p_BoBc_B)
+        J_Ac = Jv_G[a][None] - small_matmul(
+            skew_symmetric(off_A_W), Jw_G[a][None])
+        J_Bc = Jv_G[b][None] - small_matmul(
+            skew_symmetric(off_B_W), Jw_G[b][None])
 
         # Relative contact-point velocity in the contact frame, rows
         # ordered [t_x, t_y, n] with n = z (reference geometry contract).
-        J_rel_F = jnp.swapaxes(R_WF, -1, -2) @ (J_Bc - J_Ac)   # (n_c, 3, n_v)
+        J_rel_F = small_matmul(
+            jnp.swapaxes(R_WF, -1, -2), J_Bc - J_Ac)     # (n_c, 3, n_v)
 
         # Drake-style friction combination (multibody_terms.py:471).
         mu_a, mu_b = mu_all[a], mu_all[b]
@@ -159,6 +165,6 @@ def multibody_terms(model, params, q: Array, v: Array,
         cholesky_unrolled
     L = cholesky_unrolled(M)
     Minv_JT = cho_solve_unrolled(L, J.T)                       # (n_v, 3k)
-    delassus = J @ Minv_JT
+    delassus = small_matmul(J, Minv_JT)
     a_nc = cho_solve_unrolled(L, F)
     return delassus, M, J, phi, a_nc

@@ -37,6 +37,41 @@ def pbmm(a: Array, b: Array) -> Array:
     return jnp.matmul(a, b)
 
 
+def small_matmul(a: Array, b: Array) -> Array:
+    r"""Matrix product of *tiny* matrices as broadcast-multiply-reduce.
+
+    For contraction dims of a few (the 3x3 rotations and (3, n_v)
+    Jacobians of the physics hot path), XLA lowers ``@``/``einsum`` to
+    ``dot_general`` custom ops whose batched outputs materialize with
+    padded batch-major layouts on TPU (e.g. ``(B, 4, 3, 6)`` tiled
+    ``T(4,128)`` — a ~20x HBM inflation). Expressing the product as an
+    elementwise multiply + ``sum`` keeps it inside VPU fusions (measured
+    ~1.5x on the contact-terms gradient at batch 65536). Do NOT use for
+    large contractions — those belong on the MXU.
+
+    Args:
+        a: ``(*, m, k)`` left factors.
+        b: ``(*, k, n)`` right factors (leading dims broadcast).
+
+    Returns:
+        ``(*, m, n)`` products.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def small_matvec(a: Array, v: Array) -> Array:
+    """Matrix-vector product of tiny operands as multiply-reduce
+    (see :func:`small_matmul`).
+
+    Args:
+        a: ``(*, m, k)``; v: ``(*, k)``.
+
+    Returns:
+        ``(*, m)``.
+    """
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
 def skew_symmetric(vectors: Array) -> Array:
     r"""Batch of vectors to skew-symmetric cross-product matrices.
 
