@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from dair_pll_tpu.ops.tensor import project_lorentz
+from dair_pll_tpu.ops.tensor import project_lorentz, small_matvec
 
 DEFAULT_ITERATIONS = 200
 POWER_ITERATIONS = 12
@@ -49,11 +49,11 @@ def _lipschitz_estimate(Q: Array, iters: int = POWER_ITERATIONS) -> Array:
     v0 = jnp.full((n,), 1.0 / jnp.sqrt(jnp.asarray(n, Q.dtype)), Q.dtype)
 
     def body(_, v):
-        w = Q @ v
+        w = small_matvec(Q, v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
     v = jax.lax.fori_loop(0, iters, body, v0)
-    lam = v @ (Q @ v)
+    lam = v @ small_matvec(Q, v)
     return 1.1 * jnp.maximum(lam, 1e-12)
 
 
@@ -64,7 +64,7 @@ def _apgd(Q: Array, q: Array, x0: Array, iterations: int) -> Array:
 
     def step(carry, _):
         x, y, t = carry
-        grad = Q @ y + q
+        grad = small_matvec(Q, y) + q
         x_new = project_lorentz(y - inv_L * grad)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         momentum = (t - 1.0) / t_new
