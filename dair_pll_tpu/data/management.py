@@ -160,6 +160,22 @@ class ExperimentDataManager:
         self._cache[key] = result
         return result
 
+    def make_sampled_set(self, trajectory_set: TrajectorySet,
+                         n_samples: int) -> TrajectorySet:
+        """A sub-``TrajectorySet`` of the first ``n_samples`` trajectories,
+        re-sliced — the per-epoch evaluation sample of reference
+        ``experiment.py:446-466``."""
+        n = min(n_samples, len(trajectory_set.trajectories))
+        trajectories = trajectory_set.trajectories[:n]
+        slice_config = self.config.slice_config
+        past, future = slice_trajectories(
+            trajectories, slice_config.t_skip, slice_config.t_history,
+            slice_config.t_prediction)
+        return TrajectorySet(
+            trajectories=trajectories,
+            indices=list(trajectory_set.indices[:n]),
+            slices_past=past, slices_future=future)
+
     def get_trajectory_sets(self) -> Tuple[TrajectorySet, TrajectorySet,
                                            TrajectorySet]:
         """Scans the data directory (assigning any new trajectories) and

@@ -24,6 +24,7 @@ Supported shapes (reference type ordering ``geometry.py:46``):
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import Optional, Tuple
 
 import jax
@@ -42,6 +43,16 @@ _DEEP_SUPPORT_DEFAULT_N_QUERY = 4
 _DEEP_SUPPORT_DEFAULT_DEPTH = 2
 _DEEP_SUPPORT_DEFAULT_WIDTH = 256
 _DEEP_SUPPORT_PERTURBATION = 0.4
+
+
+def _stable_seed(*parts: str) -> int:
+    """Process-independent PRNG seed from string identifiers.
+
+    Python's salted ``hash`` differs across interpreter runs; sha256 keeps
+    learned-geometry initializations reproducible for identical configs.
+    """
+    digest = hashlib.sha256("/".join(parts).encode()).digest()
+    return int.from_bytes(digest[:4], "little")
 _MESH_MESH_ITERS = 32
 
 # Unit cube corner signs, (8, 3).
@@ -114,14 +125,13 @@ def default_geometry_params(spec: CollisionGeometrySpec, dtype=jnp.float32):
         vertices = np.asarray(spec.vertices_init)
         length_scale = float(
             np.linalg.norm(vertices.max(axis=0) - vertices.min(axis=0)) / 2)
-        key = jax.random.PRNGKey(
-            abs(hash((spec.name, spec.body, "icnn"))) % (2**31))
+        key = jax.random.PRNGKey(_stable_seed(spec.name, spec.body, "icnn"))
         net = icnn.init_homogeneous_icnn(
             key, spec.icnn_depth, spec.icnn_width,
             negative_slope=spec.icnn_negative_slope, scale=length_scale,
             dtype=dtype)
         pert_key = jax.random.PRNGKey(
-            abs(hash((spec.name, spec.body, "pert"))) % (2**31))
+            _stable_seed(spec.name, spec.body, "pert"))
         perturbations = jnp.concatenate((
             jnp.zeros((1, 3), dtype),
             _DEEP_SUPPORT_PERTURBATION * (jax.random.uniform(

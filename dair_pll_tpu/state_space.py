@@ -77,6 +77,13 @@ class StateSpace:
         ``state_space.py:269-272``)."""
         return {}
 
+    def auxiliary_pointwise_comparisons(self) -> Dict[str,
+                                                      ComparisonCallable]:
+        """Per-state variants of :meth:`auxiliary_comparisons`: callables
+        mapping ``(*, n_x) x (*, n_x) -> (*)`` without the batch mean, so
+        padded/masked trajectory evaluation can weight steps itself."""
+        return {}
+
     # -- selectors ----------------------------------------------------------
     def q(self, x: Array) -> Array:
         """Configuration slice of state(s)."""
@@ -204,17 +211,30 @@ class FloatingBaseSpace(StateSpace):
     def auxiliary_comparisons(self) -> Dict[str, ComparisonCallable]:
         return {"rot_err": self.quaternion_error, "pos_err": self.base_error}
 
-    def quaternion_error(self, x_1: Array, x_2: Array) -> Array:
-        """Mean geodesic angle between base orientations over the batch."""
+    def auxiliary_pointwise_comparisons(self) -> Dict[str,
+                                                      ComparisonCallable]:
+        return {"rot_err": self.pointwise_quaternion_error,
+                "pos_err": self.pointwise_base_error}
+
+    def pointwise_quaternion_error(self, x_1: Array, x_2: Array) -> Array:
+        """Geodesic angle between base orientations, per state."""
         quat_shift = quaternion.multiply(
             quaternion.inverse(self.quat(x_1)), self.quat(x_2))
         rot = quaternion.log(quat_shift)
-        return jnp.mean(jnp.linalg.norm(rot, axis=-1))
+        return jnp.linalg.norm(rot, axis=-1)
+
+    def pointwise_base_error(self, x_1: Array, x_2: Array) -> Array:
+        """Euclidean base-position error, per state."""
+        pos = self.base(x_1) - self.base(x_2)
+        return jnp.linalg.norm(pos, axis=-1)
+
+    def quaternion_error(self, x_1: Array, x_2: Array) -> Array:
+        """Mean geodesic angle between base orientations over the batch."""
+        return jnp.mean(self.pointwise_quaternion_error(x_1, x_2))
 
     def base_error(self, x_1: Array, x_2: Array) -> Array:
         """Mean Euclidean base-position error over the batch."""
-        pos = self.base(x_1) - self.base(x_2)
-        return jnp.mean(jnp.linalg.norm(pos, axis=-1))
+        return jnp.mean(self.pointwise_base_error(x_1, x_2))
 
 
 class FixedBaseSpace(StateSpace):
@@ -315,10 +335,11 @@ class ProductSpace(StateSpace):
             [s.v(z) for s, z in zip(self.spaces, zeros)], axis=-1)
         return jnp.concatenate((q, v), axis=-1)
 
-    def auxiliary_comparisons(self) -> Dict[str, ComparisonCallable]:
+    def _wrap_sub_comparisons(self, per_space) -> Dict[str,
+                                                       ComparisonCallable]:
         comparisons: Dict[str, ComparisonCallable] = {}
         for index, space in enumerate(self.spaces):
-            sub = space.auxiliary_comparisons()
+            sub = per_space(space)
             if not sub:
                 continue
 
@@ -331,6 +352,15 @@ class ProductSpace(StateSpace):
             for name, fn in sub.items():
                 comparisons[prefix + name] = _wrap(fn, index)
         return comparisons
+
+    def auxiliary_comparisons(self) -> Dict[str, ComparisonCallable]:
+        return self._wrap_sub_comparisons(
+            lambda space: space.auxiliary_comparisons())
+
+    def auxiliary_pointwise_comparisons(self) -> Dict[str,
+                                                      ComparisonCallable]:
+        return self._wrap_sub_comparisons(
+            lambda space: space.auxiliary_pointwise_comparisons())
 
 
 # -- noise and sampling ------------------------------------------------------

@@ -51,6 +51,8 @@ class SupervisedLearningExperimentConfig:
         full_evaluation_period: epochs between full trajectory evaluations.
         full_evaluation_samples: trajectories per full evaluation.
         update_geometry_in_videos: regenerate visualization geometry.
+        shard_evaluation: shard trajectory-rollout evaluation over all
+          available devices (data-parallel mesh); single-device otherwise.
     """
     data_config: DataConfig = dataclasses.field(default_factory=DataConfig)
     base_config: SystemConfig = dataclasses.field(
@@ -66,3 +68,4 @@ class SupervisedLearningExperimentConfig:
     full_evaluation_period: int = 1
     full_evaluation_samples: int = 5
     update_geometry_in_videos: bool = False
+    shard_evaluation: bool = False

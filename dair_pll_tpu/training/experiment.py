@@ -8,14 +8,26 @@ Rebuild of the reference's ``experiment.py``
   epoch — shuffle-gather, loss, gradient, Adam update for every batch — is
   one jitted ``lax.scan``: a single device launch per epoch, no
   host-device ping-pong.
-* **Early stopping / patience / best-parameter tracking** mirror reference
-  ``experiment.py:613-665``.
+* **Per-epoch evaluation.** Every ``full_evaluation_period`` epochs a
+  sample of ``full_evaluation_samples`` train/valid trajectories is
+  evaluated — per-slice prediction loss, full-trajectory rollout MSE and
+  rot/pos errors — and every epoch scalars plus comparison videos/meshes
+  are logged (reference ``experiment.py:422-488`` / ``write_to_wandb``
+  :380-420). Early stopping uses the evaluation's validation
+  prediction-loss metric, exactly like the reference
+  (``experiment.py:480-488,647-657``).
+* **Batched masked evaluation.** The reference evaluates trajectories in a
+  per-trajectory Python loop (``experiment.py:763-786``); here rollouts
+  are padded to a common horizon, vmapped as one device batch (optionally
+  sharded over a data-parallel mesh), and every per-trajectory metric is a
+  masked reduction computed in a single jitted call — one host transfer
+  for the whole statistics table.
 * **Checkpoint/resume** restores the data split, parameters, optimizer
   state, epoch counters, and run id (reference ``experiment.py:490-557``).
-* **Evaluation** reproduces the reference's statistics-dictionary key
-  scheme ``{set}_{system}_{variable}(_mean)``
-  (``experiment.py:685-796``), including velocity-normalization baselines,
-  trajectory MSE, and state-space auxiliary comparisons (rot/pos error).
+* **Evaluation statistics** reproduce the reference's key scheme
+  ``{set}_{system}_{variable}(_mean)`` (``experiment.py:685-796``),
+  including velocity-normalization baselines, trajectory MSE, and
+  state-space auxiliary comparisons (rot/pos error).
 
 Losses are callbacks ``(params, x_past, x_future) -> (batch,)`` so the
 ContactNets experiment swaps in the implicit loss exactly like the
@@ -43,6 +55,7 @@ from dair_pll_tpu.utils.logging_manager import ExperimentLogManager
 TRAIN_SET = "train"
 VALID_SET = "valid"
 TEST_SET = "test"
+TRAIN_TIME_SETS = (TRAIN_SET, VALID_SET)
 ALL_SETS = (TRAIN_SET, VALID_SET, TEST_SET)
 BASE_SYSTEM_NAME = "base"
 ORACLE_SYSTEM_NAME = "oracle"
@@ -58,6 +71,10 @@ TRAINING_DURATION = "training_duration"
 EVALUATION_DURATION = "evaluation_duration"
 LOGGING_DURATION = "logging_duration"
 MAX_SAVED_TRAJECTORIES = 5
+EVALUATION_VARIABLES = (LOSS_NAME, TRAJECTORY_ERROR_NAME)
+
+# Chunk size bounding peak memory of per-slice evaluation losses.
+EVALUATION_SLICE_CHUNK = 1024
 
 LossCallback = Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 EpochCallback = Callable[[int, Any, float, float], None]
@@ -83,6 +100,7 @@ class SupervisedLearningExperiment:
         self.learned_system: Optional[System] = None
         self.data_manager: Optional[ExperimentDataManager] = None
         self.log_manager: Optional[ExperimentLogManager] = None
+        self._jit_cache: Dict = {}
         file_utils.save_config(config.storage, config.run_name, config)
 
     # -- abstract system factories ------------------------------------------
@@ -102,6 +120,20 @@ class SupervisedLearningExperiment:
     def space(self):
         assert self.learned_system is not None
         return self.learned_system.space
+
+    def evaluation_mesh(self):
+        """Data-parallel mesh for evaluation rollouts, or ``None``.
+
+        With ``config.shard_evaluation`` the trajectory batch shards over
+        all available devices (role of the reference's n_pop=16384-scale
+        evaluation, ``dataset_generation.py:30``; the reference itself runs
+        a serial loop)."""
+        if not self.config.shard_evaluation:
+            return None
+        if len(jax.devices()) <= 1:
+            return None
+        from dair_pll_tpu.parallel.sharding import make_mesh
+        return make_mesh()
 
     # -- losses ---------------------------------------------------------------
     def prediction_loss(self, system: System, params: Any,
@@ -239,34 +271,51 @@ class SupervisedLearningExperiment:
             return params, opt_state, jnp.mean(losses)
 
         @jax.jit
-        def eval_epoch_fn(params, past, future, perm):
+        def eval_epoch_fn(params, past, future, perm, weights):
+            """Exact per-slice average: wraparound-padded duplicates carry
+            zero weight so the metric is unbiased (the gradient pass keeps
+            the duplicates — only model selection needs exactness)."""
             batches = perm.reshape(-1, batch_size)
+            batch_weights = weights.reshape(-1, batch_size)
 
-            def step(_, batch_indices):
+            def step(_, scan_in):
+                batch_indices, w = scan_in
                 x_past = jnp.take(past, batch_indices, axis=0)
                 x_future = jnp.take(future, batch_indices, axis=0)
-                return None, batch_mean_loss(params, x_past, x_future)
+                losses = loss_fn(params, x_past, x_future)
+                return None, (jnp.sum(losses * w), jnp.sum(w))
 
-            _, losses = jax.lax.scan(step, None, batches)
-            return jnp.mean(losses)
+            _, (loss_sums, weight_sums) = jax.lax.scan(
+                step, None, (batches, batch_weights))
+            return jnp.sum(loss_sums) / jnp.maximum(jnp.sum(weight_sums),
+                                                    1.0)
 
         return epoch_fn, eval_epoch_fn
 
     @staticmethod
     def _epoch_permutation(rng: np.random.Generator, n_slices: int,
-                           batch_size: int) -> np.ndarray:
-        """Shuffled slice indices, padded by wraparound to a whole number
-        of batches (every slice appears at least once per epoch)."""
+                           batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Shuffled slice indices padded by wraparound to a whole number of
+        batches, plus 0/1 weights marking the wrapped duplicates (weight 0)
+        so evaluation passes can average exactly."""
         perm = rng.permutation(n_slices)
         n_batches = max(1, int(np.ceil(n_slices / batch_size)))
         padded = np.resize(perm, n_batches * batch_size)
-        return padded
+        weights = np.zeros(n_batches * batch_size, dtype=np.float32)
+        weights[:min(n_slices, weights.size)] = 1.0
+        return padded, weights
 
     # -- train loop --------------------------------------------------------------
     def train(self, epoch_callback: EpochCallback = default_epoch_callback
               ) -> Tuple[float, float, Any]:
         """Runs training with early stopping; returns (final train loss,
-        best valid loss, best parameters)."""
+        best valid loss, best parameters).
+
+        Early stopping follows the reference (``experiment.py:647-657``):
+        the monitored metric is the validation *prediction loss* from the
+        per-epoch trajectory evaluation, carried forward between
+        evaluation epochs when ``full_evaluation_period > 1``.
+        """
         config = self.config
         optimizer, state = self.setup_training()
         assert self.data_manager is not None
@@ -293,18 +342,23 @@ class SupervisedLearningExperiment:
             return 0.0, state.best_valid_loss, state.best_params
 
         # Pre-update loss report (reference experiment.py:594-611).
-        perm = self._epoch_permutation(rng, train_set.n_slices, batch_size)
+        perm, weights = self._epoch_permutation(
+            rng, train_set.n_slices, batch_size)
         train_loss = float(eval_epoch_fn(
-            params, train_past, train_future, jnp.asarray(perm)))
+            params, train_past, train_future, jnp.asarray(perm),
+            jnp.asarray(weights)))
         if state.epoch == 1:
-            valid_loss = self._epoch_valid_loss(
+            valid_loss = self._epoch_training_objective_on_valid(
                 eval_epoch_fn, params, valid_set, valid_past, valid_future,
                 rng, batch_size)
-            state.best_valid_loss = valid_loss
-            self._log_epoch(0, params, train_loss, 0.0, valid_loss)
+            eval_valid_loss = self.per_epoch_evaluation(
+                0, params, train_loss, 0.0, valid_loss)
+            state.best_valid_loss = eval_valid_loss if \
+                eval_valid_loss is not None else valid_loss
             epoch_callback(0, params, train_loss, state.best_valid_loss)
 
         patience = config.optimizer_config.patience
+        carried_valid_loss = state.best_valid_loss
         try:
             while state.epoch <= config.optimizer_config.epochs:
                 if config.data_config.update_dynamically:
@@ -318,7 +372,7 @@ class SupervisedLearningExperiment:
                         self.data_manager.trajectory_set_indices()
 
                 start = time.time()
-                perm = self._epoch_permutation(
+                perm, _ = self._epoch_permutation(
                     rng, train_set.n_slices, batch_size)
                 params, opt_state, train_loss_dev = epoch_fn(
                     params, opt_state, train_past, train_future,
@@ -345,11 +399,20 @@ class SupervisedLearningExperiment:
                         f"loss {train_loss}); checkpoint preserves the "
                         f"last finite state")
 
-                valid_loss = self._epoch_valid_loss(
-                    eval_epoch_fn, params, valid_set, valid_past,
-                    valid_future, rng, batch_size)
-                self._log_epoch(state.epoch, params, train_loss,
-                                training_duration, valid_loss)
+                objective_valid_loss = \
+                    self._epoch_training_objective_on_valid(
+                        eval_epoch_fn, params, valid_set, valid_past,
+                        valid_future, rng, batch_size)
+                eval_valid_loss = self.per_epoch_evaluation(
+                    state.epoch, params, train_loss, training_duration,
+                    objective_valid_loss)
+                if eval_valid_loss is not None:
+                    carried_valid_loss = eval_valid_loss
+                elif self.config.full_evaluation_samples <= 0:
+                    # Trajectory evaluation disabled: select models on the
+                    # training objective evaluated on the validation set.
+                    carried_valid_loss = objective_valid_loss
+                valid_loss = carried_valid_loss
 
                 if valid_loss < state.best_valid_loss:
                     state.best_valid_loss = valid_loss
@@ -375,40 +438,113 @@ class SupervisedLearningExperiment:
 
         return train_loss, state.best_valid_loss, state.best_params
 
-    def _epoch_valid_loss(self, eval_epoch_fn, params,
-                          valid_set: TrajectorySet, valid_past,
-                          valid_future, rng, batch_size: int) -> float:
+    def _epoch_training_objective_on_valid(self, eval_epoch_fn, params,
+                                           valid_set: TrajectorySet,
+                                           valid_past, valid_future, rng,
+                                           batch_size: int) -> float:
+        """Training objective evaluated on the validation slices (logged
+        as ``valid_loss``; e.g. the ContactNets loss for ContactNets
+        runs)."""
         if valid_set.n_slices == 0:
             return 0.0
-        perm = self._epoch_permutation(rng, valid_set.n_slices, batch_size)
+        perm, weights = self._epoch_permutation(
+            rng, valid_set.n_slices, batch_size)
         return float(eval_epoch_fn(
-            params, valid_past, valid_future, jnp.asarray(perm)))
+            params, valid_past, valid_future, jnp.asarray(perm),
+            jnp.asarray(weights)))
 
-    def _log_epoch(self, epoch: int, params, train_loss: float,
-                   training_duration: float, valid_loss: float) -> None:
+    # -- per-epoch evaluation ---------------------------------------------------
+    def per_epoch_evaluation(self, epoch: int, params: Any,
+                             train_loss: float, training_duration: float,
+                             objective_valid_loss: float) -> Optional[float]:
+        """Evaluates and logs training progress at the end of an epoch
+        (reference ``experiment.py:422-488`` + ``write_to_wandb``
+        :380-420).
+
+        Every ``full_evaluation_period`` epochs, evaluates the learned
+        system on the first ``full_evaluation_samples`` train/valid
+        trajectories (slice prediction losses + full rollouts), logging
+        ``{set}_{variable}`` scalars and comparison videos/meshes.
+
+        Returns:
+            The validation prediction-loss mean when the evaluation ran
+            this epoch, else ``None`` (caller carries the last value
+            forward).
+        """
+        assert self.data_manager is not None
+        start_eval = time.time()
+        statistics: Dict = {}
+        period = max(1, self.config.full_evaluation_period)
+        if self.config.full_evaluation_samples > 0 and \
+                (epoch % period) == 0:
+            train_set, valid_set, _ = self.data_manager.get_trajectory_sets()
+            n_samples = self.config.full_evaluation_samples
+            eval_sets = {}
+            for set_name, full_set in ((TRAIN_SET, train_set),
+                                       (VALID_SET, valid_set)):
+                sampled = self.data_manager.make_sampled_set(
+                    full_set, n_samples)
+                if sampled.n_slices:
+                    eval_sets[set_name] = sampled
+            if eval_sets:
+                statistics = self.evaluate_systems_on_sets(
+                    {LEARNED_SYSTEM_NAME: (self.learned_system, params)},
+                    eval_sets, mesh=self.evaluation_mesh())
+
+        valid_loss_key = \
+            f"{VALID_SET}_{LEARNED_SYSTEM_NAME}_{LOSS_NAME}_{AVERAGE_TAG}"
+        eval_valid_loss = statistics.get(valid_loss_key)
+
+        statistics[f"{TRAIN_SET}_{LEARNED_SYSTEM_NAME}_{LOSS_NAME}_"
+                   f"{AVERAGE_TAG}"] = train_loss
+        statistics[TRAINING_DURATION] = training_duration
+        statistics[EVALUATION_DURATION] = time.time() - start_eval
+        self._write_epoch_log(epoch, params, statistics,
+                              objective_valid_loss)
+        return float(eval_valid_loss) if eval_valid_loss is not None \
+            else None
+
+    def _write_epoch_log(self, epoch: int, params, statistics: Dict,
+                         objective_valid_loss: float) -> None:
+        """Logs per-epoch scalars plus the learned system's summary and
+        the base-vs-learned comparison media (reference ``write_to_wandb``,
+        ``experiment.py:380-420``)."""
         start_log = time.time()
-        scalars = {
-            f"{TRAIN_SET}_{LOSS_NAME}": train_loss,
-            f"{VALID_SET}_{LOSS_NAME}": valid_loss,
-            TRAINING_DURATION: training_duration,
-        }
+        scalars: Dict[str, float] = {}
+        aux_names = tuple(self.space.auxiliary_comparisons())
+        for stats_set in TRAIN_TIME_SETS:
+            for variable in EVALUATION_VARIABLES + aux_names:
+                key = f"{stats_set}_{LEARNED_SYSTEM_NAME}_{variable}_" \
+                      f"{AVERAGE_TAG}"
+                if key in statistics:
+                    scalars[f"{stats_set}_{variable}"] = float(
+                        statistics[key])
+        scalars[f"{TRAIN_SET}_{LOSS_NAME}"] = float(statistics[
+            f"{TRAIN_SET}_{LEARNED_SYSTEM_NAME}_{LOSS_NAME}_{AVERAGE_TAG}"])
+        scalars[f"{VALID_SET}_{LOSS_NAME}"] = objective_valid_loss
+        for duration in (TRAINING_DURATION, EVALUATION_DURATION):
+            scalars[duration] = float(statistics[duration])
+
         assert self.learned_system is not None
         summary = self.learned_system.summary(params, scalars)
         scalars.update(summary.scalars)
+        videos = dict(summary.videos)
+        videos.update(
+            self.base_and_learned_comparison_summary(statistics, params))
         scalars[LOGGING_DURATION] = time.time() - start_log
         assert self.log_manager is not None
-        self.log_manager.update(epoch, scalars, summary.videos,
-                                summary.meshes)
+        self.log_manager.update(epoch, scalars, videos, summary.meshes)
 
     # -- evaluation -----------------------------------------------------------
     def trajectory_predict(self, system: System, params: Any,
-                           trajectories, t_skip: int):
+                           trajectories, t_skip: int, mesh=None):
         """Rollout predictions for full (variable-length) trajectories.
 
         Pads all trajectories to the maximum length, vmaps one fixed-horizon
         rollout, and returns per-trajectory (prediction, target, mask)
         triples — replacing the reference's per-trajectory Python loop
-        (``experiment.py:250-290``) with a single batched rollout.
+        (``experiment.py:250-290``) with a single batched rollout. With a
+        ``mesh`` the trajectory batch shards over its data axis.
         """
         t_begin = t_skip + 1
         max_T = max(t.shape[0] for t in trajectories)
@@ -423,27 +559,124 @@ class SupervisedLearningExperiment:
             padded[i, T:] = trajectory[-1]  # repeat last state (masked out)
             lengths[i] = T
 
-        x_hist = jnp.asarray(padded[:, :t_begin])
+        rollout = self._rollout_fn(system, horizon, mesh)
 
-        def predict_one(hist):
-            x_0, carry = system.preprocess_initial_condition(
-                params, hist, system.initial_carry(hist[-1]))
-            trajectory = system.simulate(params, x_0, horizon, carry_0=carry)
-            return trajectory[1:]
+        x_hist = padded[:, :t_begin]
+        if mesh is not None:
+            n_devices = mesh.devices.size
+            batch_pad = (-len(trajectories)) % n_devices
+            if batch_pad:
+                x_hist = np.concatenate(
+                    [x_hist, np.repeat(x_hist[-1:], batch_pad, axis=0)])
+            predictions = np.asarray(rollout(params, jnp.asarray(x_hist)))
+            predictions = predictions[:len(trajectories)]
+        else:
+            predictions = np.asarray(rollout(params, jnp.asarray(x_hist)))
 
-        predictions = np.asarray(jax.vmap(predict_one)(x_hist))
         targets = padded[:, t_begin:]
         masks = (np.arange(horizon)[None, :] <
                  (lengths - t_begin)[:, None])
         return predictions, targets, masks
 
+    def _rollout_fn(self, system: System, horizon: int, mesh):
+        """Cached jitted batched rollout ``(params, x_hist) -> (B, H, n_x)``
+        (sharded over ``mesh`` when given)."""
+        mesh_key = None if mesh is None else \
+            tuple(d.id for d in mesh.devices.flat)
+        key = ("rollout", id(system), horizon, mesh_key)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def predict_one(params, hist):
+            x_0, carry = system.preprocess_initial_condition(
+                params, hist, system.initial_carry(hist[-1]))
+            trajectory = system.simulate(params, x_0, horizon, carry_0=carry)
+            return trajectory[1:]
+
+        def batched(params, x_hist):
+            return jax.vmap(lambda h: predict_one(params, h))(x_hist)
+
+        if mesh is None:
+            fn = jax.jit(batched)
+        else:
+            from dair_pll_tpu.parallel.sharding import (
+                make_data_parallel_rollout)
+            fn = make_data_parallel_rollout(batched, mesh)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _trajectory_metrics_fn(self, system: System):
+        """Cached jitted masked per-trajectory metrics: trajectory MSE plus
+        every pointwise auxiliary comparison, as masked means over valid
+        steps — one device call, one host transfer."""
+        key = ("traj_metrics", id(system))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        space = system.space
+        pointwise = space.auxiliary_pointwise_comparisons()
+
+        @jax.jit
+        def metrics(predictions, targets, masks):
+            m = masks.astype(predictions.dtype)
+            counts = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+            def masked_mean(per_step):
+                return jnp.sum(per_step * m, axis=1) / counts
+
+            out = {TRAJECTORY_ERROR_NAME: masked_mean(
+                space.state_square_error(predictions, targets))}
+            for name, fn in pointwise.items():
+                out[name] = masked_mean(fn(predictions, targets))
+            return out
+
+        self._jit_cache[key] = metrics
+        return metrics
+
+    def _slice_loss_fn(self, system: System):
+        """Cached jitted chunked per-slice prediction loss (bounds peak
+        memory at ``EVALUATION_SLICE_CHUNK`` concurrent rollouts)."""
+        key = ("slice_loss", id(system))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        @jax.jit
+        def chunked(params, past, future):
+            def one_chunk(scan_in):
+                chunk_past, chunk_future = scan_in
+                return self.prediction_loss(system, params, chunk_past,
+                                            chunk_future)
+
+            losses = jax.lax.map(one_chunk, (past, future))
+            return losses.reshape(-1)
+
+        def slice_losses(params, past, future):
+            n = past.shape[0]
+            # Round the chunk up to a power of two so evaluation sets of
+            # similar size reuse one compiled scan shape.
+            chunk = min(EVALUATION_SLICE_CHUNK,
+                        1 << max(0, (n - 1)).bit_length())
+            pad = (-n) % chunk
+            if pad:
+                past = jnp.concatenate(
+                    [past, jnp.repeat(past[-1:], pad, axis=0)])
+                future = jnp.concatenate(
+                    [future, jnp.repeat(future[-1:], pad, axis=0)])
+            past = past.reshape(-1, chunk, *past.shape[1:])
+            future = future.reshape(-1, chunk, *future.shape[1:])
+            return chunked(params, past, future)[:n]
+
+        self._jit_cache[key] = slice_losses
+        return slice_losses
+
     def evaluate_systems_on_sets(self, systems: Dict[str, Tuple[System,
                                                                 Any]],
-                                 sets: Dict[str, TrajectorySet]) -> Dict:
+                                 sets: Dict[str, TrajectorySet],
+                                 mesh=None) -> Dict:
         """Builds the statistics dictionary (reference
         ``experiment.py:685-796``): per-slice losses, velocity norms,
         trajectory MSE, auxiliary comparisons, sample trajectories, and
-        ``_mean`` summaries."""
+        ``_mean`` summaries. All per-trajectory metrics are computed as one
+        masked batched device call per (set, system) pair."""
         stats: Dict = {}
         space = self.space
         t_skip = self.config.data_config.slice_config.t_skip
@@ -462,26 +695,20 @@ class SupervisedLearningExperiment:
                 space.velocity_square_error(v_plus, jnp.zeros_like(v_plus)))
 
             for system_name, (system, params) in systems.items():
-                losses = np.asarray(self.prediction_loss(
-                    system, params, past, future))
+                losses = np.asarray(
+                    self._slice_loss_fn(system)(params, past, future))
                 stats[f"{set_name}_{system_name}_{LOSS_NAME}"] = losses
 
                 predictions, targets, masks = self.trajectory_predict(
-                    system, params, trajectory_set.trajectories, t_skip)
-                mse = []
-                rot_list, pos_list = [], []
-                aux = space.auxiliary_comparisons()
-                for pred, target, mask in zip(predictions, targets, masks):
-                    pred_v = jnp.asarray(pred[mask])
-                    target_v = jnp.asarray(target[mask])
-                    mse.append(float(jnp.mean(space.state_square_error(
-                        pred_v, target_v))))
-                    for comp_name, comp in aux.items():
-                        key = f"{set_name}_{system_name}_{comp_name}"
-                        stats.setdefault(key, []).append(
-                            float(comp(pred_v, target_v)))
-                stats[f"{set_name}_{system_name}_"
-                      f"{TRAJECTORY_ERROR_NAME}"] = np.asarray(mse)
+                    system, params, trajectory_set.trajectories, t_skip,
+                    mesh=mesh)
+                metrics = self._trajectory_metrics_fn(system)(
+                    jnp.asarray(predictions), jnp.asarray(targets),
+                    jnp.asarray(masks))
+                metrics = jax.device_get(metrics)
+                for name, values in metrics.items():
+                    stats[f"{set_name}_{system_name}_{name}"] = \
+                        np.asarray(values)
 
                 if system_name == LEARNED_SYSTEM_NAME:
                     n_save = min(MAX_SAVED_TRAJECTORIES, len(predictions))
@@ -520,7 +747,8 @@ class SupervisedLearningExperiment:
             ORACLE_SYSTEM_NAME: (oracle_system, oracle_params),
             LEARNED_SYSTEM_NAME: (self.learned_system, best_params),
         }
-        evaluation = self.evaluate_systems_on_sets(systems, sets)
+        evaluation = self.evaluate_systems_on_sets(
+            systems, sets, mesh=self.evaluation_mesh())
         file_utils.save_evaluation(self.config.storage,
                                    self.config.run_name, evaluation)
         videos = self.base_and_learned_comparison_summary(

@@ -118,25 +118,39 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
 
     def base_and_learned_comparison_summary(self, statistics: Dict,
                                             best_params: Any) -> Dict:
-        """Overlay video of the first saved test trajectory pair (role of
-        reference ``drake_experiment.py:119-161`` via Drake rendering; here
-        rendered host-side by ``vis_utils``)."""
-        target_key = "test_model_target_sample"
-        prediction_key = "test_model_prediction_sample"
-        if target_key not in statistics or not statistics[target_key]:
-            return {}
-        try:
-            from dair_pll_tpu.vis_utils import visualize_trajectory
-            assert isinstance(self.learned_system,
-                              MultibodyLearnableSystem)
-            video, fps = visualize_trajectory(
-                self.learned_system.model, best_params,
-                statistics[target_key][0],
-                statistics[prediction_key][0],
-                self.config.data_config.dt)
-            return {"test_trajectory_overlay": (video, fps)}
-        except Exception:
-            return {}
+        """Overlay videos of the first saved trajectory pair of each set
+        present in the statistics (role of reference
+        ``drake_experiment.py:119-161`` via Drake rendering; here rendered
+        host-side by ``vis_utils``).
+
+        With ``config.update_geometry_in_videos`` the overlay geometry is
+        rebuilt from the current learned parameters every call (role of
+        reference ``visualizer_regeneration_is_required``,
+        ``drake_experiment.py:188-200``); otherwise the base (initial)
+        geometry is drawn.
+        """
+        assert isinstance(self.learned_system, MultibodyLearnableSystem)
+        if self.config.update_geometry_in_videos:
+            video_params = best_params
+        else:
+            _, video_params = self.get_base_system()
+        videos = {}
+        for set_name in ("train", "valid", "test"):
+            target_key = f"{set_name}_model_target_sample"
+            prediction_key = f"{set_name}_model_prediction_sample"
+            if target_key not in statistics or not statistics[target_key]:
+                continue
+            try:
+                from dair_pll_tpu.vis_utils import visualize_trajectory
+                video, fps = visualize_trajectory(
+                    self.learned_system.model, video_params,
+                    statistics[target_key][0],
+                    statistics[prediction_key][0],
+                    self.config.data_config.dt)
+                videos[f"{set_name}_trajectory_overlay"] = (video, fps)
+            except Exception:
+                continue
+        return videos
 
     def parameter_update_mask(self, params: Any) -> Optional[Any]:
         """Zeroes the gradient of body 0's inertial-scale coordinate

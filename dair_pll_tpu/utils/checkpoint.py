@@ -4,8 +4,9 @@ Rebuild of the reference's ``TrainingState`` checkpoint
 (``/root/reference/dair_pll/experiment.py:33-55,671-679``): the complete
 resumable state — train/valid/test split indices, best and current
 parameter pytrees, optimizer state, epoch counters, best validation loss,
-run id, finished flag — serialized as a single ``.npz`` (array leaves) +
-pickled treedef, with the SIGINT-guarded atomic save of the reference.
+run id, finished flag — serialized as a single pickle whose array leaves
+are host numpy arrays, with the SIGINT-guarded atomic save of the
+reference.
 """
 from __future__ import annotations
 
@@ -41,10 +42,17 @@ def _to_host(tree: Any) -> Any:
 def save_checkpoint(path: str, state: TrainingState) -> None:
     """Atomically saves a training state, ignoring SIGINT during the write
     (reference ``experiment.py:671-679``)."""
-    payload = dataclasses.asdict(state)
-    payload["best_params"] = _to_host(state.best_params)
-    payload["current_params"] = _to_host(state.current_params)
-    payload["optimizer_state"] = _to_host(state.optimizer_state)
+    payload = {
+        "split_indices": state.split_indices,
+        "best_params": _to_host(state.best_params),
+        "current_params": _to_host(state.current_params),
+        "optimizer_state": _to_host(state.optimizer_state),
+        "epoch": state.epoch,
+        "epochs_since_best": state.epochs_since_best,
+        "best_valid_loss": state.best_valid_loss,
+        "run_id": state.run_id,
+        "finished_training": state.finished_training,
+    }
 
     previous = signal.getsignal(signal.SIGINT)
     try:

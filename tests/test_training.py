@@ -108,7 +108,8 @@ def cube_training_storage(tmp_path_factory):
     return storage
 
 
-def make_config(storage, run_name, loss, epochs=5, lr=1e-3):
+def make_config(storage, run_name, loss, epochs=5, lr=1e-3,
+                full_evaluation_period=2, full_evaluation_samples=3):
     return SupervisedLearningExperimentConfig(
         data_config=DataConfig(dt=DT, train_fraction=0.5,
                                valid_fraction=0.25, test_fraction=0.25,
@@ -121,12 +122,15 @@ def make_config(storage, run_name, loss, epochs=5, lr=1e-3):
             lr=Float(lr), wd=Float(0.0), patience=50, epochs=epochs,
             batch_size=Int(32)),
         storage=storage, run_name=run_name,
+        full_evaluation_period=full_evaluation_period,
+        full_evaluation_samples=full_evaluation_samples,
     )
 
 
 def test_contactnets_training_loss_decreases(cube_training_storage):
     config = make_config(cube_training_storage, "contactnets_run",
-                         MultibodyLosses.CONTACTNETS_LOSS, epochs=5)
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=5,
+                         full_evaluation_samples=0)
     experiment = MultibodyLearnableExperiment(config)
     losses = []
     experiment.train(lambda e, p, tl, bv: losses.append(tl))
@@ -135,7 +139,8 @@ def test_contactnets_training_loss_decreases(cube_training_storage):
 
 def test_checkpoint_resume(cube_training_storage):
     config = make_config(cube_training_storage, "resume_run",
-                         MultibodyLosses.CONTACTNETS_LOSS, epochs=3)
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=3,
+                         full_evaluation_samples=0)
     experiment = MultibodyLearnableExperiment(config)
     experiment.train(lambda *a: None)
     ckpt = load_checkpoint(file_utils.checkpoint_path(
@@ -155,7 +160,9 @@ def test_checkpoint_resume(cube_training_storage):
 
 def test_evaluation_statistics_schema(cube_training_storage):
     config = make_config(cube_training_storage, "eval_run",
-                         MultibodyLosses.CONTACTNETS_LOSS, epochs=2)
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=2,
+                         full_evaluation_period=2,
+                         full_evaluation_samples=2)
     experiment = MultibodyLearnableExperiment(config)
     best_params, stats = experiment.generate_results(lambda *a: None)
     # reference key scheme {set}_{system}_{variable}(_mean)
@@ -168,9 +175,99 @@ def test_evaluation_statistics_schema(cube_training_storage):
     assert np.isfinite(stats["valid_model_loss_mean"])
 
 
+def test_per_epoch_evaluation_cadence(cube_training_storage):
+    """Per-epoch trajectory evaluation runs every full_evaluation_period
+    epochs with full trajectory metrics in the epoch log, and the videos
+    directory receives overlay renders (reference experiment.py:422-488)."""
+    import json
+    config = make_config(cube_training_storage, "cadence_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=4,
+                         full_evaluation_period=2,
+                         full_evaluation_samples=2)
+    experiment = MultibodyLearnableExperiment(config)
+    experiment.train(lambda *a: None)
+
+    log_path = file_utils.log_path(cube_training_storage, "cadence_run")
+    records = [json.loads(line) for line in open(log_path)]
+    by_epoch = {r["epoch"]: r for r in records}
+    # Evaluation (trajectory metrics) on cadence epochs only.
+    for epoch, record in by_epoch.items():
+        if epoch < 0:
+            continue
+        has_eval = "train_trajectory_mse" in record
+        assert has_eval == (epoch % 2 == 0), (epoch, sorted(record))
+    eval_epochs = [e for e in by_epoch if e >= 0 and e % 2 == 0]
+    assert eval_epochs, "no evaluation epochs logged"
+    record = by_epoch[eval_epochs[-1]]
+    for key in ("train_loss", "valid_loss", "train_trajectory_mse",
+                "valid_trajectory_mse", "train_rot_err", "valid_pos_err",
+                "training_duration", "evaluation_duration"):
+        assert key in record, f"missing epoch scalar {key}"
+    # Overlay videos rendered on evaluation epochs.
+    video_dir = os.path.join(
+        file_utils.run_dir(cube_training_storage, "cadence_run"), "videos")
+    assert os.path.isdir(video_dir) and os.listdir(video_dir)
+
+
+def test_eval_epoch_loss_unbiased_by_wraparound(cube_training_storage):
+    """The evaluation-pass epoch loss weights out wraparound-padded
+    duplicates (exact per-slice mean) even when n_slices % batch != 0."""
+    config = make_config(cube_training_storage, "unbiased_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=1,
+                         full_evaluation_samples=0)
+    experiment = MultibodyLearnableExperiment(config)
+    optimizer, state = experiment.setup_training()
+    batch_size = 7  # guaranteed not to divide the slice count evenly
+    _, eval_epoch_fn = experiment._build_train_epoch(optimizer, batch_size)
+    train_set, _, _ = experiment.data_manager.get_trajectory_sets()
+    past = jnp.asarray(train_set.slices_past)
+    future = jnp.asarray(train_set.slices_future)
+    assert train_set.n_slices % batch_size != 0
+    rng = np.random.default_rng(0)
+    perm, weights = experiment._epoch_permutation(
+        rng, train_set.n_slices, batch_size)
+    weighted = float(eval_epoch_fn(state.current_params, past, future,
+                                   jnp.asarray(perm), jnp.asarray(weights)))
+    # exact mean over each slice exactly once
+    loss_fn = experiment.loss_callback()
+    exact = float(jnp.mean(loss_fn(state.current_params, past, future)))
+    assert weighted == pytest.approx(exact, rel=1e-5)
+
+
+def test_sharded_evaluation_matches_single_device(cube_training_storage):
+    """Trajectory evaluation over the 8-device data-parallel mesh produces
+    the same statistics as the single-device path (VERDICT item 5)."""
+    config = make_config(cube_training_storage, "sharded_eval_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=1,
+                         full_evaluation_samples=0)
+    config.shard_evaluation = True
+    experiment = MultibodyLearnableExperiment(config)
+    _, state = experiment.setup_training()
+    params = state.current_params
+    train_set, _, _ = experiment.data_manager.get_trajectory_sets()
+
+    mesh = experiment.evaluation_mesh()
+    assert mesh is not None and mesh.devices.size == 8
+    stats_sharded = experiment.evaluate_systems_on_sets(
+        {"model": (experiment.learned_system, params)},
+        {"train": train_set}, mesh=mesh)
+    stats_single = experiment.evaluate_systems_on_sets(
+        {"model": (experiment.learned_system, params)},
+        {"train": train_set}, mesh=None)
+    np.testing.assert_allclose(
+        stats_sharded["train_model_trajectory_mse"],
+        stats_single["train_model_trajectory_mse"], rtol=1e-5)
+    np.testing.assert_allclose(
+        stats_sharded["train_model_rot_err"],
+        stats_single["train_model_rot_err"], rtol=1e-5)
+    assert stats_sharded["train_model_loss_mean"] == pytest.approx(
+        stats_single["train_model_loss_mean"], rel=1e-5)
+
+
 def test_urdf_reexport_roundtrip(cube_training_storage):
     config = make_config(cube_training_storage, "export_run",
-                         MultibodyLosses.CONTACTNETS_LOSS, epochs=1)
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=1,
+                         full_evaluation_samples=0)
     experiment = MultibodyLearnableExperiment(config)
     _, _, best_params = experiment.train(lambda *a: None)
     new_urdfs = experiment.generate_updated_urdfs(best_params)
