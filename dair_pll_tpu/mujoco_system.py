@@ -74,6 +74,8 @@ def solref_args(stiffness: float, damping_ratio: float,
 class MuJoCoSystem(System):
     """Soft-contact MuJoCo simulator as a :class:`System` oracle."""
 
+    host_stepped = True
+
     def __init__(self, mjcf: str, dt: float, stiffness: float,
                  damping_ratio: float, v200: bool = False) -> None:
         if not MUJOCO_AVAILABLE:  # pragma: no cover
@@ -187,6 +189,18 @@ class MuJoCoUKFSystem(MuJoCoSystem):
             f=f, h=h, phi=phi, phi_inv=phi_inv,
             Q=1e-10 * np.eye(n_v2), R=self.R,
             alpha=(0.1, 0.1, 0.1), d=n_v2)
+
+    def preprocess_initial_condition(self, params: Any, x_history,
+                                     carry: Any) -> Tuple[np.ndarray, Any]:
+        """UKF-smooths the (noisy) initial-condition history into the
+        starting state — the defining behavior of the UKF oracle
+        (reference ``mujoco_system.py:178-249``). A length-1 history
+        reduces to the raw state."""
+        del params
+        x_history = np.asarray(x_history, np.float64)
+        if x_history.shape[0] > 1:
+            return self.ukf_estimate(x_history), carry
+        return x_history[-1], carry
 
     def ukf_estimate(self, x_sequence: np.ndarray) -> np.ndarray:
         """Filters a noisy state sequence, returning the final smoothed

@@ -51,6 +51,12 @@ class System:
     space: StateSpace
     integrator: Integrator
 
+    #: True for systems whose stepping is stateful host code (e.g. the
+    #: MuJoCo oracle) — evaluation then uses sequential host rollouts
+    #: instead of jit/vmap (the reference's ``max_batch_dim = 0`` systems,
+    #: ``system.py:113-124``).
+    host_stepped: bool = False
+
     def __init__(self, space: StateSpace, integrator: Integrator) -> None:
         self.space = space
         self.integrator = integrator

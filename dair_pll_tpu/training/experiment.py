@@ -559,9 +559,25 @@ class SupervisedLearningExperiment:
             padded[i, T:] = trajectory[-1]  # repeat last state (masked out)
             lengths[i] = T
 
+        x_hist = padded[:, :t_begin]
+        if system.host_stepped:
+            # Stateful host simulators (MuJoCo oracle) roll out
+            # sequentially, like the reference's max_batch_dim=0 systems.
+            rows = []
+            for hist in x_hist:
+                x_0, carry = system.preprocess_initial_condition(
+                    params, hist, system.initial_carry(jnp.asarray(
+                        hist[-1])))
+                rows.append(np.asarray(system.simulate(
+                    params, x_0, horizon, carry_0=carry))[1:])
+            predictions = np.stack(rows)
+            targets = padded[:, t_begin:]
+            masks = (np.arange(horizon)[None, :] <
+                     (lengths - t_begin)[:, None])
+            return predictions, targets, masks
+
         rollout = self._rollout_fn(system, horizon, mesh)
 
-        x_hist = padded[:, :t_begin]
         if mesh is not None:
             n_devices = mesh.devices.size
             batch_pad = (-len(trajectories)) % n_devices
@@ -632,9 +648,36 @@ class SupervisedLearningExperiment:
         self._jit_cache[key] = metrics
         return metrics
 
+    def _host_slice_losses(self, system: System, params, past,
+                           future) -> np.ndarray:
+        """Per-slice prediction losses for host-stepped systems: rollouts
+        run sequentially on host, the velocity-MSE reduction is the same
+        math as :meth:`prediction_loss`."""
+        space = system.space
+        past = np.asarray(past)
+        future = np.asarray(future)
+        t_prediction = future.shape[-2]
+        predicted = []
+        for hist in past:
+            x_0, carry = system.preprocess_initial_condition(
+                params, hist, system.initial_carry(jnp.asarray(hist[-1])))
+            predicted.append(np.asarray(system.simulate(
+                params, x_0, t_prediction, carry_0=carry))[1:])
+        x_predicted = jnp.asarray(np.stack(predicted))
+        v_future = space.v(jnp.asarray(future))
+        v_predicted = space.v(x_predicted)
+        per_element = space.velocity_square_error(
+            v_future.reshape(v_future.shape[0], -1, space.n_v),
+            v_predicted.reshape(v_predicted.shape[0], -1, space.n_v))
+        n_elements = t_prediction * space.n_v
+        return np.asarray(jnp.sum(per_element, axis=-1) / n_elements)
+
     def _slice_loss_fn(self, system: System):
         """Cached jitted chunked per-slice prediction loss (bounds peak
         memory at ``EVALUATION_SLICE_CHUNK`` concurrent rollouts)."""
+        if system.host_stepped:
+            return lambda params, past, future: self._host_slice_losses(
+                system, params, past, future)
         key = ("slice_loss", id(system))
         if key in self._jit_cache:
             return self._jit_cache[key]

@@ -133,7 +133,8 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
         if self.config.update_geometry_in_videos:
             video_params = best_params
         else:
-            _, video_params = self.get_base_system()
+            # Draw the shapes at their initial (URDF) geometry.
+            video_params = self.learned_system.model.initial_params()
         videos = {}
         for set_name in ("train", "valid", "test"):
             target_key = f"{set_name}_model_target_sample"

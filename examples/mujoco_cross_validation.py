@@ -83,8 +83,11 @@ def main(stiffness, damping_ratio, n_pop, trajectory_length, noise_std,
     click.echo(f"UKF position errors (raw vs smoothed): "
                f"{ukf_improvements}")
 
+    from dair_pll_tpu.training.mujoco_experiment import (
+        MuJoCoExperimentConfig, MuJoCoMultibodyLearnableExperiment)
+
     urdf = get_asset("cube")
-    config = SupervisedLearningExperimentConfig(
+    config = MuJoCoExperimentConfig(
         data_config=DataConfig(
             dt=DT, train_fraction=0.5, valid_fraction=0.25,
             test_fraction=0.25, slice_config=TrajectorySliceConfig()),
@@ -96,8 +99,14 @@ def main(stiffness, damping_ratio, n_pop, trajectory_length, noise_std,
             lr=Float(1e-3), wd=Float(0.0), patience=epochs,
             epochs=epochs, batch_size=Int(256)),
         storage=storage, run_name="mujoco_cross_validation",
+        xml=mjcf, stiffness=stiffness, damping_ratio=damping_ratio,
+        static_noise=tuple([noise_std] * 12),
+        dynamic_noise=tuple([noise_std] * 12),
     )
-    experiment = MultibodyLearnableExperiment(config)
+    # First-class MuJoCo cross-validation: the MuJoCo simulator is the
+    # base system and the UKF-smoothing system is the oracle evaluated
+    # alongside the learned model (reference mujoco_experiment.py:24-44).
+    experiment = MuJoCoMultibodyLearnableExperiment(config)
 
     def epoch_callback(epoch, params, train_loss, best_valid):
         if epoch % 10 == 0:
