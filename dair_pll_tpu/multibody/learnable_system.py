@@ -38,13 +38,22 @@ from dair_pll_tpu.integrator import Integrator
 from dair_pll_tpu.multibody.model import MultibodyModel, MultibodyParams
 from dair_pll_tpu.multibody.terms import multibody_terms
 from dair_pll_tpu.ops.cone_solver import solve_contact_impulse
+from dair_pll_tpu.ops.sap_solver import (DEFAULT_HYBRID_IPM_ITERATIONS,
+                                         DEFAULT_HYBRID_NEWTON_ITERATIONS,
+                                         solve_contact_impulse_hybrid)
 from dair_pll_tpu.ops.tensor import broadcast_lorentz
 from dair_pll_tpu.system import System, SystemSummary
 
 LOSS_EPSILON = 1e-3        # loss QP regularization (reference :130)
 DYNAMICS_EPSILON = 1e-4    # dynamics QP regularization (reference :283)
 CONTACT_FILTER_EPS = 1e6   # phi activation threshold (reference :262-266)
-SOLVER_ITERATIONS = 200
+SOLVER_ITERATIONS = 200    # APGD iteration count (solver="apgd")
+#: Default solver. "hybrid" = interior-point warm start + SAP-Newton
+#: polish (machine-precision worst-case on realistic contact QPs, fewer
+#: sequential iterations); "apgd" = the round-1 FISTA solver. The hybrid
+#: matches the algorithm class of the reference's sappy (Newton-type SAP,
+#: reference multibody_learnable_system.py:179-184).
+DEFAULT_SOLVER = "hybrid"
 
 
 class MultibodyLearnableSystem(System):
@@ -62,13 +71,31 @@ class MultibodyLearnableSystem(System):
     dt: float
 
     def __init__(self, model: MultibodyModel, dt: float,
-                 solver_iterations: int = SOLVER_ITERATIONS) -> None:
+                 solver_iterations: int = SOLVER_ITERATIONS,
+                 solver: str = DEFAULT_SOLVER,
+                 ipm_iterations: int = DEFAULT_HYBRID_IPM_ITERATIONS,
+                 newton_iterations: int =
+                 DEFAULT_HYBRID_NEWTON_ITERATIONS) -> None:
+        assert solver in ("hybrid", "apgd")
         self.model = model
         self.dt = dt
+        self.solver = solver
         self.solver_iterations = solver_iterations
+        self.ipm_iterations = ipm_iterations
+        self.newton_iterations = newton_iterations
         space = model.state_space()
         integrator = Integrator(space, self._partial_step, dt, "velocity")
         super().__init__(space, integrator)
+
+    def _solve_contact(self, delassus: Array, M: Array, J: Array,
+                       q_vec: Array, eps) -> Tuple[Array, Array]:
+        """Dispatches the configured cone-QP solver (impulse, valid)."""
+        if self.solver == "hybrid":
+            return solve_contact_impulse_hybrid(
+                delassus, M, J, q_vec, eps, self.ipm_iterations,
+                self.newton_iterations)
+        return solve_contact_impulse(delassus, q_vec, eps,
+                                     self.solver_iterations)
 
     @classmethod
     def from_urdfs(cls, urdfs: Dict[str, str], dt: float,
@@ -111,9 +138,9 @@ class MultibodyLearnableSystem(System):
         v_minus = v + dt * a_nc
         q_full = J @ v_minus + phi_then_zero / dt
 
-        impulse, _ = solve_contact_impulse(
-            delassus, q_full, jnp.asarray(DYNAMICS_EPSILON, phi.dtype),
-            self.solver_iterations)
+        impulse, _ = self._solve_contact(
+            delassus, M, J, q_full,
+            jnp.asarray(DYNAMICS_EPSILON, phi.dtype))
 
         # Contact activation filter (inactive for physical scales, as in
         # the reference where eps = 1e6).
@@ -145,7 +172,7 @@ class MultibodyLearnableSystem(System):
         """Assembles the per-transition ContactNets QP pieces (unbatched).
 
         Returns:
-            (delassus, q_vec, M, phi, dv) for the loss assembly.
+            (delassus, q_vec, M, J, phi, dv) for the loss assembly.
         """
         space = self.space
         dt = self.dt
@@ -176,7 +203,7 @@ class MultibodyLearnableSystem(System):
         q_comp = jnp.abs(phi_then_zero)
         q_diss = dt * jnp.concatenate((sliding_speeds, sliding_velocities))
         q_vec = q_pred + q_comp + q_diss
-        return delassus, q_vec, M, phi, dv
+        return delassus, q_vec, M, J, phi, dv
 
     def _contactnets_loss_given_force(self, delassus, q_vec, M, phi, dv,
                                       force, valid) -> Array:
@@ -215,16 +242,17 @@ class MultibodyLearnableSystem(System):
         Returns:
             scalar loss.
         """
-        delassus, q_vec, M, phi, dv = self._contactnets_qp(
+        delassus, q_vec, M, J, phi, dv = self._contactnets_qp(
             params, x, u, x_plus)
         # Envelope theorem: the optimal force's dependence on parameters
         # does not contribute to the loss gradient, so detach the solve
         # (reference multibody_learnable_system.py:172-184). Solver
         # failures zero the sample's contribution (reference :186-192).
-        force, valid = solve_contact_impulse(
+        force, valid = self._solve_contact(
             jax.lax.stop_gradient(delassus),
+            jax.lax.stop_gradient(M), jax.lax.stop_gradient(J),
             jax.lax.stop_gradient(q_vec),
-            jnp.asarray(LOSS_EPSILON, phi.dtype), self.solver_iterations)
+            jnp.asarray(LOSS_EPSILON, phi.dtype))
         force = jax.lax.stop_gradient(force)
         return self._contactnets_loss_given_force(
             delassus, q_vec, M, phi, dv, force, valid)
@@ -245,7 +273,7 @@ class MultibodyLearnableSystem(System):
         flat_u = u.reshape((n_batch, u.shape[-1]))
         flat_xp = x_plus.reshape((n_batch, x_plus.shape[-1]))
 
-        delassus, q_vec, M, phi, dv = jax.vmap(
+        delassus, q_vec, M, J, phi, dv = jax.vmap(
             lambda a, b, c: self._contactnets_qp(params, a, b, c))(
                 flat_x, flat_u, flat_xp)
 
@@ -262,6 +290,14 @@ class MultibodyLearnableSystem(System):
                 solve_contact_impulse_pallas)
             force, valid = solve_contact_impulse_pallas(
                 delassus_sg, q_vec_sg, eps, self.solver_iterations)
+        elif self.solver == "hybrid":
+            M_sg = jax.lax.stop_gradient(M)
+            J_sg = jax.lax.stop_gradient(J)
+            force, valid = jax.vmap(
+                lambda D, Mi, Ji, qv: solve_contact_impulse_hybrid(
+                    D, Mi, Ji, qv, eps, self.ipm_iterations,
+                    self.newton_iterations))(
+                        delassus_sg, M_sg, J_sg, q_vec_sg)
         else:
             force, valid = jax.vmap(
                 lambda D, qv: solve_contact_impulse(

@@ -160,16 +160,11 @@ def solve_cone_qp(Q: Array, q: Array,
     return _apgd(Q, q, x0, iterations)
 
 
-def _solve_fwd(Q: Array, q: Array, iterations: int):
-    x = solve_cone_qp(Q, q, iterations)
-    return x, (Q, q, x)
-
-
-def _solve_bwd(iterations: int, residuals, g: Array):
-    """IFT backward: differentiate the fixed point
-    ``F(x) = x - P(x - alpha (Q x + q)) = 0``."""
-    del iterations
-    Q, q, x = residuals
+def ift_cotangents(Q: Array, q: Array, x: Array,
+                   g: Array) -> Tuple[Array, Array]:
+    """IFT cotangents for any solver of the cone QP: differentiate the
+    projection fixed point ``F(x) = x - P(x - alpha (Q x + q)) = 0``
+    (which holds at the optimum for every ``alpha > 0``)."""
     alpha = 1.0 / _lipschitz_estimate(Q)
     z = x - alpha * (Q @ x + q)
     D = _projection_jacobian(z)
@@ -186,6 +181,17 @@ def _solve_bwd(iterations: int, residuals, g: Array):
     bar_q = -alpha * Dtw
     bar_Q = jnp.outer(bar_q, x)
     return bar_Q, bar_q
+
+
+def _solve_fwd(Q: Array, q: Array, iterations: int):
+    x = solve_cone_qp(Q, q, iterations)
+    return x, (Q, q, x)
+
+
+def _solve_bwd(iterations: int, residuals, g: Array):
+    del iterations
+    Q, q, x = residuals
+    return ift_cotangents(Q, q, x, g)
 
 
 solve_cone_qp.defvjp(_solve_fwd, _solve_bwd)

