@@ -35,6 +35,12 @@ the smooth segment — near-machine-precision steps with fixed control
 flow, eliminating the crease-crossing slow tails of plain backtracking
 (this mirrors what Drake's SAP line search achieves).
 
+**TPU layout.** All internals are cone-major and matrix-free
+(``ops/cones.py``): per-cone ``(k, 3)`` vector algebra, projection
+Jacobians applied without materializing ``(3k, 3k)`` operators, and one
+unrolled ``n_v x n_v`` Cholesky per Newton step — no padded tiny-matmul
+layouts (the round-1 ``small_matmul`` finding).
+
 All iterations are fixed-count and branchless; callers ``vmap`` over the
 batch.
 """
@@ -47,22 +53,38 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from dair_pll_tpu.ops.cone_solver import _projection_jacobian
+from dair_pll_tpu.ops import cones
 from dair_pll_tpu.ops.linear import cholesky_unrolled, cho_solve_unrolled
-from dair_pll_tpu.ops.tensor import project_lorentz, small_matvec
 
 DEFAULT_NEWTON_ITERATIONS = 10
 _POLISH_STEPS = 8
 
 
-def _primal_cost(M, J, q, eps, w):
-    gamma = project_lorentz(-(J @ w + q) / eps)
-    return 0.5 * w @ (M @ w) + 0.5 * eps * jnp.sum(gamma * gamma), gamma
+def _jt_dot(Jc: Array, u: Array) -> Array:
+    """``J^T u`` with cone-major ``Jc (k, 3, n)`` and ``u (k, 3)``."""
+    return jnp.sum(Jc * u[..., None], axis=(-3, -2))
+
+
+def _j_dot(Jc: Array, w: Array) -> Array:
+    """``J w`` per cone: ``(k, 3, n) x (n,) -> (k, 3)``."""
+    return jnp.sum(Jc * w, axis=-1)
+
+
+def _jt_block_j(Jc: Array, D: Array) -> Array:
+    """``sum_k J_k^T D_k J_k``: ``(k, 3, n), (k, 3, 3) -> (n, n)`` as
+    broadcast-multiply-reduce (no batched tiny dot_generals)."""
+    DJ = jnp.sum(D[..., None] * Jc[..., None, :, :], axis=-2)  # (k, 3, n)
+    return jnp.sum(Jc[..., :, :, None] * DJ[..., :, None, :],
+                   axis=(-4, -3))
+
+
+def _primal_gamma(Jc, qc, eps, w):
+    return cones.project(-(_j_dot(Jc, w) + qc) / eps)
 
 
 def _crease_breakpoints(z0: Array, dz: Array) -> Array:
     r"""Step lengths in ``(0, 1)`` where ``z0 + alpha dz`` crosses a
-    Lorentz-cone projection crease.
+    Lorentz-cone projection crease (cone-major inputs ``(k, 3)``).
 
     Creases satisfy :math:`\lVert t \rVert^2 = n^2` (covers both the cone
     boundary ``s = n`` and the polar boundary ``s = -n``), a quadratic in
@@ -71,10 +93,8 @@ def _crease_breakpoints(z0: Array, dz: Array) -> Array:
     Returns:
         ``(2k,)`` candidate step lengths.
     """
-    k = z0.shape[-1] // 3
-    n0, dn = z0[:k], dz[:k]
-    t0 = z0[k:].reshape(k, 2)
-    dt = dz[k:].reshape(k, 2)
+    n0, dn = z0[..., 0], dz[..., 0]
+    t0, dt = z0[..., 1:], dz[..., 1:]
 
     A = jnp.sum(dt * dt, axis=-1) - dn * dn
     B = 2.0 * (jnp.sum(t0 * dt, axis=-1) - n0 * dn)
@@ -102,24 +122,24 @@ def _crease_breakpoints(z0: Array, dz: Array) -> Array:
     return jnp.concatenate((clip_valid(r1), clip_valid(r2)))
 
 
-def _line_search(M, J, q, eps, w, dw):
+def _line_search(M, Jc, qc, eps, w, dw):
     r"""Exact line search on ``g(alpha) = l(w + alpha dw)`` over
     ``[0, 1]``: analytic crease breakpoints bracket the root of the
     nondecreasing ``g'``, then safeguarded Newton polishes inside the
     smooth segment. Fixed-count and branchless."""
     dtype = w.dtype
-    z0 = -(J @ w + q) / eps
-    dz = -(J @ dw) / eps
+    z0 = -(_j_dot(Jc, w) + qc) / eps
+    dz = -_j_dot(Jc, dw) / eps
     a0 = dw @ (M @ w)
     a1 = dw @ (M @ dw)
 
     def g_prime(alpha):
-        gamma = project_lorentz(z0 + alpha * dz)
-        return a0 + a1 * alpha + eps * (dz @ gamma)
+        gamma = cones.project(z0 + alpha * dz)
+        return a0 + a1 * alpha + eps * jnp.sum(dz * gamma)
 
     def g_second(alpha):
-        D = _projection_jacobian(z0 + alpha * dz)
-        return a1 + eps * (dz @ small_matvec(D, dz))
+        Ddz = cones.projection_jacobian_apply(z0 + alpha * dz, dz)
+        return a1 + eps * jnp.sum(dz * Ddz)
 
     # 1) candidate steps: 0, crease crossings, 1.
     candidates = jnp.sort(jnp.concatenate((
@@ -155,26 +175,37 @@ def _line_search(M, J, q, eps, w, dw):
     return w + alpha * dw
 
 
-def _sap_newton(M: Array, J: Array, q: Array, eps, iterations: int,
-                w0: Array) -> Tuple[Array, Array]:
-    """Runs the fixed-count Newton iteration; returns (impulse, w)."""
+def _sap_newton_cone_major(M: Array, Jc: Array, qc: Array, eps,
+                           iterations: int, w0: Array
+                           ) -> Tuple[Array, Array]:
+    """Fixed-count Newton on the velocity-space primal; cone-major
+    inputs. Returns (impulse (k, 3), w)."""
     n_v = M.shape[-1]
 
     def newton_step(w, _):
-        _, gamma = _primal_cost(M, J, q, eps, w)
-        grad = M @ w - J.T @ gamma
-        z = -(J @ w + q) / eps
-        D = _projection_jacobian(z)
-        H = M + (J.T @ D @ J) / eps
+        z = -(_j_dot(Jc, w) + qc) / eps
+        gamma = cones.project(z)
+        grad = M @ w - _jt_dot(Jc, gamma)
+        D = cones.projection_jacobian_matrix(z)
+        H = M + _jt_block_j(Jc, D) / eps
         # Levenberg-style floor keeps H well-posed on projection facets.
-        H = H + 1e-10 * jnp.eye(n_v, dtype=q.dtype)
+        H = H + 1e-10 * jnp.eye(n_v, dtype=qc.dtype)
         L = cholesky_unrolled(H)
         dw = -cho_solve_unrolled(L, grad)
-        return _line_search(M, J, q, eps, w, dw), None
+        return _line_search(M, Jc, qc, eps, w, dw), None
 
     w, _ = jax.lax.scan(newton_step, w0, None, length=iterations)
-    _, gamma = _primal_cost(M, J, q, eps, w)
+    gamma = _primal_gamma(Jc, qc, eps, w)
     return gamma, w
+
+
+def _sap_newton(M: Array, J: Array, q: Array, eps, iterations: int,
+                w0: Array) -> Tuple[Array, Array]:
+    """Stacked-layout wrapper: returns (impulse (3k,), w)."""
+    Jc = cones.rows_to_cone_major(J)
+    qc = cones.stacked_to_cone_major(q)
+    gamma, w = _sap_newton_cone_major(M, Jc, qc, eps, iterations, w0)
+    return cones.cone_major_to_stacked(gamma), w
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -227,8 +258,8 @@ def solve_cone_qp_hybrid(Q: Array, q: Array, M: Array, J: Array, eps,
                          DEFAULT_HYBRID_IPM_ITERATIONS,
                          newton_iterations: int =
                          DEFAULT_HYBRID_NEWTON_ITERATIONS) -> Array:
-    r"""Interior-point warm start + SAP-Newton polish: the default
-    high-accuracy cone-QP solve.
+    r"""Interior-point warm start + SAP-Newton polish: the high-accuracy
+    cone-QP solve.
 
     The IPM (``socp_solver.py``) discovers the active set reliably through
     the central path (semismooth Newton alone can stall when the optimum
@@ -244,10 +275,10 @@ def solve_cone_qp_hybrid(Q: Array, q: Array, M: Array, J: Array, eps,
     theorem on the projection fixed point (``cone_solver.ift_cotangents``).
     """
     from dair_pll_tpu.ops.linear import spd_solve
-    from dair_pll_tpu.ops.socp_solver import solve_cone_qp_ipm
-    x0 = solve_cone_qp_ipm(Q, q, ipm_iterations)
-    w0 = spd_solve(M, J.T @ x0)
+    from dair_pll_tpu.ops.socp_solver import solve_cone_qp_ipm_mj
     eps = jnp.asarray(eps, q.dtype)
+    x0 = solve_cone_qp_ipm_mj(M, J, q, eps, ipm_iterations)
+    w0 = spd_solve(M, J.T @ x0)
     gamma, _ = _sap_newton(M, J, q, eps, newton_iterations, w0)
     return gamma
 
@@ -305,3 +336,10 @@ def solve_contact_impulse_sap(M: Array, J: Array, q_vec: Array, eps,
     valid = finite & bounded
     impulse = jnp.where(valid, impulse, jnp.zeros_like(impulse))
     return jnp.nan_to_num(impulse), valid
+
+
+def _primal_cost(M, J, q, eps, w):
+    """Stacked-layout primal cost (kept for tests/diagnostics)."""
+    from dair_pll_tpu.ops.tensor import project_lorentz
+    gamma = project_lorentz(-(J @ w + q) / eps)
+    return 0.5 * w @ (M @ w) + 0.5 * eps * jnp.sum(gamma * gamma), gamma

