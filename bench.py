@@ -23,6 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+
+    # Persistent compilation cache: the fused SoA training step takes
+    # ~10 min to compile cold on the tunneled TPU; cache across runs.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     import jax.numpy as jnp
     import optax
 
@@ -51,7 +60,7 @@ def main():
     key = jax.random.PRNGKey(0)
     best = 0.0
     best_batch = 0
-    for batch in (16384, 65536, 262144):
+    for batch in (65536, 262144):
         k1, k2, key = jax.random.split(key, 3)
         x = jax.random.normal(k1, (batch, 13), jnp.float32)
         quat = x[:, :4] / jnp.linalg.norm(x[:, :4], axis=-1, keepdims=True)

@@ -51,7 +51,8 @@ def _stable_seed(*parts: str) -> int:
     Python's salted ``hash`` differs across interpreter runs; sha256 keeps
     learned-geometry initializations reproducible for identical configs.
     """
-    digest = hashlib.sha256("/".join(parts).encode()).digest()
+    digest = hashlib.sha256(
+        "/".join(str(part) for part in parts).encode()).digest()
     return int.from_bytes(digest[:4], "little")
 _MESH_MESH_ITERS = 32
 

@@ -54,6 +54,9 @@ SOLVER_ITERATIONS = 200    # APGD iteration count (solver="apgd")
 #: matches the algorithm class of the reference's sappy (Newton-type SAP,
 #: reference multibody_learnable_system.py:179-184).
 DEFAULT_SOLVER = "hybrid"
+#: Flattened batch size above which the batched ContactNets loss
+#: auto-routes to the fused batch-minor SoA path (``multibody/soa_terms``).
+FUSED_LOSS_MIN_BATCH = 2048
 
 
 class MultibodyLearnableSystem(System):
@@ -257,21 +260,44 @@ class MultibodyLearnableSystem(System):
         return self._contactnets_loss_given_force(
             delassus, q_vec, M, phi, dv, force, valid)
 
+    def supports_fused_loss(self) -> bool:
+        """Whether the batch-minor fused SoA loss path covers this model
+        and solver configuration (see ``multibody/soa_terms.py``)."""
+        from dair_pll_tpu.multibody.soa_terms import supports_fused
+        return self.solver == "hybrid" and supports_fused(self.model)
+
     def contactnets_loss_batch(self, params: MultibodyParams, x: Array,
                                u: Array, x_plus: Array,
-                               use_pallas: Optional[bool] = None) -> Array:
+                               use_pallas: Optional[bool] = None,
+                               use_fused: Optional[bool] = None) -> Array:
         """Batched ContactNets loss: ``(*, n_x) -> (*,)``.
 
-        The (detached) cone solve runs once over the whole flattened batch
-        — on TPU through the fused Pallas kernel
-        (``ops/pallas_cone_solver.py``), elsewhere through the vmapped lax
-        solver — while terms assembly and loss assembly are vmapped.
+        By default (``use_fused=None``) the batch-minor fused SoA path
+        (``multibody/soa_terms.py``) handles supported models — the whole
+        terms + solve + loss chain runs in TPU-native layout. Otherwise
+        terms/loss assembly are vmapped and the (detached) cone solve runs
+        once over the flattened batch.
         """
         batch_shape = x.shape[:-1]
         n_batch = int(np.prod(batch_shape)) if batch_shape else 1
         flat_x = x.reshape((n_batch, x.shape[-1]))
         flat_u = u.reshape((n_batch, u.shape[-1]))
         flat_xp = x_plus.reshape((n_batch, x_plus.shape[-1]))
+
+        if use_fused is None:
+            # Auto-select the fused path only at production batch sizes:
+            # its advantage is HBM layout/bandwidth (large batches), while
+            # its much larger traced graph makes cold compiles minutes
+            # long — not worth it for small-batch runs.
+            use_fused = (use_pallas is None and
+                         n_batch >= FUSED_LOSS_MIN_BATCH and
+                         self.supports_fused_loss())
+        if use_fused:
+            from dair_pll_tpu.multibody.soa_terms import soa_contactnets_loss
+            losses = soa_contactnets_loss(
+                self.model, params, flat_x, flat_u, flat_xp, self.dt,
+                LOSS_EPSILON, self.ipm_iterations, self.newton_iterations)
+            return losses.reshape(batch_shape)
 
         delassus, q_vec, M, J, phi, dv = jax.vmap(
             lambda a, b, c: self._contactnets_qp(params, a, b, c))(

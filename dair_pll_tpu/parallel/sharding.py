@@ -28,9 +28,26 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+import inspect
+
+# jax renamed check_rep -> check_vma (~0.9) and may drop it entirely;
+# pass whichever replication-check flag this jax accepts, disabled (the
+# rollout/step bodies use psum, which trips the conservative checker).
+_SHARD_MAP_CHECK_KEY = None
+for _key in ("check_rep", "check_vma"):
+    if _key in inspect.signature(_shard_map).parameters:
+        _SHARD_MAP_CHECK_KEY = _key
+        break
+
+
+def shard_map(f, **kwargs):
+    if _SHARD_MAP_CHECK_KEY is not None:
+        kwargs.setdefault(_SHARD_MAP_CHECK_KEY, False)
+    return _shard_map(f, **kwargs)
 
 DATA_AXIS = "dp"
 
@@ -90,7 +107,7 @@ def make_data_parallel_step(
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(axis_name), P(axis_name)),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        )
     return jax.jit(sharded)
 
 
@@ -110,5 +127,5 @@ def make_data_parallel_rollout(simulate_fn: Callable, mesh: Mesh,
         simulate_fn, mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=P(axis_name),
-        check_rep=False)
+        )
     return jax.jit(sharded)

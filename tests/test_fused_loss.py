@@ -1,0 +1,123 @@
+"""Parity tests: fused batch-minor SoA ContactNets loss vs the vmapped
+reference path (same hybrid solver), values and parameter gradients.
+
+The fused path (``multibody/soa_terms.py`` + ``ops/soa_solver.py``)
+reimplements the whole terms + solve + loss chain in TPU-native
+batch-minor layout; these tests pin it to the vmapped implementation the
+rest of the suite already validates against golden physics values.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dair_pll_tpu.assets import get_asset
+from dair_pll_tpu.multibody.learnable_system import MultibodyLearnableSystem
+from dair_pll_tpu.urdf import build_multibody_model
+
+
+def _random_transitions(model, B, key, dtype=jnp.float64):
+    n_x = model.n_q + model.n_v
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (B, n_x), dtype)
+    x = x.at[:, :4].set(
+        x[:, :4] / jnp.linalg.norm(x[:, :4], axis=-1, keepdims=True))
+    # Heights straddling contact so some transitions are in collision.
+    height = 0.02 + 0.08 * jax.random.uniform(k2, (B,), dtype)
+    x = x.at[:, 6].set(height)
+    x_plus = x + 0.005 * jax.random.normal(k2, (B, n_x), dtype)
+    x_plus = x_plus.at[:, :4].set(
+        x_plus[:, :4] / jnp.linalg.norm(x_plus[:, :4], axis=-1,
+                                        keepdims=True))
+    u = jnp.zeros((B, model.n_u), dtype)
+    return x, u, x_plus
+
+
+def _perturbed_params(model, key, dtype=jnp.float64):
+    params = model.initial_params(dtype)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    leaves = [
+        leaf * (1.0 + 0.05 * jax.random.normal(k, jnp.shape(leaf),
+                                               dtype))
+        for leaf, k in zip(leaves, keys)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+@pytest.mark.parametrize("asset", ["cube", "elbow"])
+def test_fused_loss_matches_reference_path(asset):
+    model = build_multibody_model({asset: get_asset(asset)})
+    system = MultibodyLearnableSystem(model, 0.0068)
+    assert system.supports_fused_loss()
+
+    key = jax.random.PRNGKey(11)
+    x, u, x_plus = _random_transitions(model, 24, key)
+    params = _perturbed_params(model, jax.random.PRNGKey(5))
+
+    ref = system.contactnets_loss_batch(params, x, u, x_plus,
+                                        use_fused=False)
+    fused = system.contactnets_loss_batch(params, x, u, x_plus,
+                                          use_fused=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_fused_loss_gradient_matches_reference_path():
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, 0.0068)
+
+    key = jax.random.PRNGKey(7)
+    x, u, x_plus = _random_transitions(model, 16, key)
+    params = _perturbed_params(model, jax.random.PRNGKey(3))
+
+    def total(p, fused):
+        return jnp.sum(system.contactnets_loss_batch(
+            p, x, u, x_plus, use_fused=fused))
+
+    g_ref = jax.grad(lambda p: total(p, False))(params)
+    g_fused = jax.grad(lambda p: total(p, True))(params)
+    for lr, lf in zip(jax.tree_util.tree_leaves(g_ref),
+                      jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
+                                   rtol=1e-6, atol=1e-10)
+
+
+def test_fused_default_selection():
+    """Auto-selection: small batches route to the vmapped path (bitwise
+    equal), production batches route to the fused path; both only for
+    supported models."""
+    from dair_pll_tpu.multibody import learnable_system as ls
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, 0.0068)
+    assert system.supports_fused_loss()
+    key = jax.random.PRNGKey(2)
+    x, u, x_plus = _random_transitions(model, 8, key)
+    params = model.initial_params(jnp.float64)
+    auto = system.contactnets_loss_batch(params, x, u, x_plus)
+    std = system.contactnets_loss_batch(params, x, u, x_plus,
+                                        use_fused=False)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(std))
+    assert ls.FUSED_LOSS_MIN_BATCH <= 16384  # bench batches use fused
+
+    apgd = MultibodyLearnableSystem(model, 0.0068, solver="apgd")
+    assert not apgd.supports_fused_loss()
+
+
+def test_fused_batch_shape():
+    """Fused path preserves leading batch shape like the reference path."""
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, 0.0068)
+    key = jax.random.PRNGKey(9)
+    x, u, x_plus = _random_transitions(model, 12, key)
+    params = model.initial_params(jnp.float64)
+    x2 = x.reshape(3, 4, -1)
+    u2 = u.reshape(3, 4, -1)
+    xp2 = x_plus.reshape(3, 4, -1)
+    flat = system.contactnets_loss_batch(params, x, u, x_plus,
+                                         use_fused=True)
+    shaped = system.contactnets_loss_batch(params, x2, u2, xp2,
+                                           use_fused=True)
+    assert shaped.shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(shaped).reshape(-1),
+                               np.asarray(flat))

@@ -211,27 +211,45 @@ def test_per_epoch_evaluation_cadence(cube_training_storage):
 
 def test_eval_epoch_loss_unbiased_by_wraparound(cube_training_storage):
     """The evaluation-pass epoch loss weights out wraparound-padded
-    duplicates (exact per-slice mean) even when n_slices % batch != 0."""
+    duplicates (exact per-slice mean) even when n_slices % batch != 0.
+
+    Uses a deterministic per-slice loss override: the point under test is
+    the weighting machinery, and the real ContactNets loss is not
+    bit-stable across compilations (the f32 cone solve of near-degenerate
+    QPs is sensitive to XLA fusion choices, which would make an
+    eager-vs-jit comparison flaky).
+    """
     config = make_config(cube_training_storage, "unbiased_run",
                          MultibodyLosses.CONTACTNETS_LOSS, epochs=1,
                          full_evaluation_samples=0)
-    experiment = MultibodyLearnableExperiment(config)
+
+    class DeterministicLossExperiment(MultibodyLearnableExperiment):
+        def loss_callback(self):
+            def per_slice_loss(params, x_past, x_future):
+                del params
+                return (jnp.mean(x_past ** 2, axis=(-2, -1)) +
+                        jnp.mean(x_future ** 3, axis=(-2, -1)))
+            return per_slice_loss
+
+    experiment = DeterministicLossExperiment(config)
     optimizer, state = experiment.setup_training()
     batch_size = 7  # guaranteed not to divide the slice count evenly
     _, eval_epoch_fn = experiment._build_train_epoch(optimizer, batch_size)
     train_set, _, _ = experiment.data_manager.get_trajectory_sets()
-    past = jnp.asarray(train_set.slices_past)
-    future = jnp.asarray(train_set.slices_future)
+    past = jnp.asarray(train_set.slices_past, jnp.float64)
+    future = jnp.asarray(train_set.slices_future, jnp.float64)
     assert train_set.n_slices % batch_size != 0
     rng = np.random.default_rng(0)
     perm, weights = experiment._epoch_permutation(
         rng, train_set.n_slices, batch_size)
+    assert int(weights.sum()) == train_set.n_slices
     weighted = float(eval_epoch_fn(state.current_params, past, future,
-                                   jnp.asarray(perm), jnp.asarray(weights)))
+                                   jnp.asarray(perm),
+                                   jnp.asarray(weights, jnp.float64)))
     # exact mean over each slice exactly once
     loss_fn = experiment.loss_callback()
     exact = float(jnp.mean(loss_fn(state.current_params, past, future)))
-    assert weighted == pytest.approx(exact, rel=1e-5)
+    assert weighted == pytest.approx(exact, rel=1e-12)
 
 
 def test_sharded_evaluation_matches_single_device(cube_training_storage):
