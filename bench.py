@@ -60,7 +60,7 @@ def main():
     key = jax.random.PRNGKey(0)
     best = 0.0
     best_batch = 0
-    for batch in (65536, 262144):
+    for batch in (262144, 1048576):
         k1, k2, key = jax.random.split(key, 3)
         x = jax.random.normal(k1, (batch, 13), jnp.float32)
         quat = x[:, :4] / jnp.linalg.norm(x[:, :4], axis=-1, keepdims=True)

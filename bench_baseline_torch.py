@@ -119,7 +119,88 @@ def solve_qp(Q, q_vec, iters=SOLVER_ITERS):
     return x
 
 
-def contactnets_step(batch_x, batch_xp, params, opt):
+def _cone_rows(k):
+    """Stacked-layout row indices per cone: [normal, t_x, t_y]."""
+    return [[c, k + 2 * c, k + 2 * c + 1] for c in range(k)]
+
+
+def _projection_jacobian_blocks(z):
+    """Per-cone generalized projection Jacobians ``(B, k, 3, 3)`` at the
+    cone-major points ``z (B, k, 3)``."""
+    n = z[..., 0]
+    t = z[..., 1:]
+    s = t.norm(dim=-1).clamp_min(1e-15)
+    hat = t / s[..., None]
+    in_cone = s <= n
+    in_polar = s <= -n
+    h_over_s = (0.5 * (n + s) / s)[..., None, None]
+    eye2 = torch.eye(2, dtype=z.dtype)
+    hhT = hat[..., :, None] * hat[..., None, :]
+    b_tt = h_over_s * (eye2 - hhT) + 0.5 * hhT
+    b_nt = 0.5 * hat
+    top = torch.cat((torch.full_like(n, 0.5)[..., None, None],
+                     b_nt[..., None, :]), -1)
+    bottom = torch.cat((b_nt[..., :, None], b_tt), -1)
+    D = torch.cat((top, bottom), -2)
+    eye3 = torch.eye(3, dtype=z.dtype)
+    D = torch.where(in_cone[..., None, None], eye3, D)
+    return torch.where(in_polar[..., None, None], torch.zeros_like(D), D)
+
+
+def solve_qp_sap_newton(M, J, q_vec, eps, iters=10, ls_steps=12):
+    r"""Newton-type SAP solve (the reference sappy's algorithm class,
+    Castro et al.; reference ``multibody_learnable_system.py:179-184``)
+    on the velocity primal ``l(w) = 0.5 w'Mw + eps/2 ||P_K(-(Jw+q)/eps)||^2``,
+    with backtracking line search — the *stronger* CPU stand-in solver
+    (VERDICT round-1 item 8: few Newton iterations instead of APGD-200).
+    """
+    B, n = q_vec.shape
+    k = n // 3
+    rows = torch.tensor(_cone_rows(k)).reshape(-1)
+    Jc = J[:, rows, :].reshape(B, k, 3, 6)
+    qc = q_vec[:, rows].reshape(B, k, 3)
+    w = torch.zeros(B, 6, dtype=q_vec.dtype)
+
+    def cost(w):
+        z = -(torch.einsum("bkin,bn->bki", Jc, w) + qc) / eps
+        gamma = project_cone(
+            torch.cat((z[..., 0], z[..., 1:].reshape(B, 2 * k)), -1))
+        return 0.5 * torch.einsum("bi,bij,bj->b", w, M, w) + \
+            0.5 * eps * (gamma * gamma).sum(-1)
+
+    for _ in range(iters):
+        z = -(torch.einsum("bkin,bn->bki", Jc, w) + qc) / eps
+        gamma_st = project_cone(
+            torch.cat((z[..., 0], z[..., 1:].reshape(B, 2 * k)), -1))
+        gamma = torch.cat(
+            (gamma_st[:, :k, None],
+             gamma_st[:, k:].reshape(B, k, 2)), -1)
+        grad = torch.einsum("bij,bj->bi", M, w) - \
+            torch.einsum("bkin,bki->bn", Jc, gamma)
+        D = _projection_jacobian_blocks(z)
+        H = M + torch.einsum("bkin,bkij,bkjm->bnm", Jc, D, Jc) / eps + \
+            1e-10 * torch.eye(6, dtype=q_vec.dtype)
+        dw = -torch.linalg.solve(H, grad)
+        # Backtracking line search on the primal cost (batched).
+        c0 = cost(w)
+        best_w = w
+        best_c = c0
+        alpha = torch.ones(B, 1, dtype=q_vec.dtype)
+        for _ in range(ls_steps):
+            cand = w + alpha * dw
+            c = cost(cand)
+            better = c < best_c
+            best_w = torch.where(better[:, None], cand, best_w)
+            best_c = torch.where(better, c, best_c)
+            alpha = alpha * 0.5
+        w = best_w
+    z = -(torch.einsum("bkin,bn->bki", Jc, w) + qc) / eps
+    # cat((normals, tangents)) IS the standard stacked layout.
+    return project_cone(
+        torch.cat((z[..., 0], z[..., 1:].reshape(B, 2 * k)), -1))
+
+
+def contactnets_step(batch_x, batch_xp, params, opt, solver="apgd"):
     half_lengths, mu, inertia_diag, mass = params
     opt.zero_grad()
     q, v = batch_x[:, :7], batch_x[:, 7:]
@@ -139,7 +220,11 @@ def contactnets_step(batch_x, batch_xp, params, opt):
     q_diss = DT * torch.cat((speeds, sliding), -1)
     q_vec = q_pred + q_comp + q_diss
     with torch.no_grad():
-        force = solve_qp(Q, q_vec)
+        if solver == "newton":
+            force = solve_qp_sap_newton(M.detach(), J.detach(),
+                                        q_vec.detach(), 1e-3)
+        else:
+            force = solve_qp(Q, q_vec)
     pen = (torch.clamp(-phi, min=0) ** 2).sum(-1)
     constant = 0.5 * torch.einsum("bi,bij,bj->b", dv, M, dv) + pen
     loss = (0.5 * torch.einsum("bi,bij,bj->b", force, Q, force) +
@@ -164,18 +249,43 @@ def main():
               torch.tensor(CUBE_MASS, requires_grad=True))
     opt = torch.optim.Adam(params, lr=1e-3)
 
-    contactnets_step(x, xp, params, opt)  # warmup
-    n_steps = 10
-    start = time.time()
-    for _ in range(n_steps):
-        contactnets_step(x, xp, params, opt)
-    elapsed = time.time() - start
-    transitions_per_sec = n_steps * B / elapsed
+    # Sanity: the two stand-in solvers agree on the QP (objective gap).
+    with torch.no_grad():
+        phi, J, M, a_nc = cube_terms(
+            xp[:, :7], xp[:, 7:], params[0], params[1], params[2],
+            params[3])
+        D = J @ torch.inverse(M) @ J.transpose(-1, -2)
+        Q = D + 1e-3 * torch.eye(3 * N_C)
+        q_vec = -torch.einsum("bij,bj->bi", J, xp[:, 7:] - x[:, 7:])
+        f_a = solve_qp(Q, q_vec)
+        f_n = solve_qp_sap_newton(M, J, q_vec, 1e-3)
+
+        def obj(f):
+            return 0.5 * torch.einsum("bi,bij,bj->b", f, Q, f) + \
+                (f * q_vec).sum(-1)
+        gap = (obj(f_n) - obj(f_a)).abs().max()
+        print(f"solver objective agreement |apgd - newton|: {gap:.3e}")
+
+    # Measure BOTH stand-in solvers (VERDICT round-1 item 8) and report
+    # the stronger: APGD-200 (first-order) and SAP-Newton-10 (the
+    # reference sappy's algorithm class).
+    per_solver = {}
+    for solver in ("apgd", "newton"):
+        contactnets_step(x, xp, params, opt, solver)  # warmup
+        n_steps = 10
+        start = time.time()
+        for _ in range(n_steps):
+            contactnets_step(x, xp, params, opt, solver)
+        elapsed = time.time() - start
+        per_solver[solver] = n_steps * B / elapsed
+    strongest = max(per_solver, key=per_solver.get)
     result = {
-        "metric": "contactnets train transitions/sec (torch cpu f64)",
+        "metric": "contactnets train transitions/sec (torch cpu f64, "
+                  "strongest of APGD-200 / SAP-Newton-10 stand-ins)",
         "batch": B,
-        "transitions_per_sec": transitions_per_sec,
-        "seconds_per_step": elapsed / n_steps,
+        "transitions_per_sec": per_solver[strongest],
+        "strongest_solver": strongest,
+        "per_solver_transitions_per_sec": per_solver,
     }
     with open("baseline_cpu.json", "w", encoding="utf-8") as handle:
         json.dump(result, handle, indent=2)

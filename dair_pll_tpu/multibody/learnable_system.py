@@ -48,6 +48,17 @@ LOSS_EPSILON = 1e-3        # loss QP regularization (reference :130)
 DYNAMICS_EPSILON = 1e-4    # dynamics QP regularization (reference :283)
 CONTACT_FILTER_EPS = 1e6   # phi activation threshold (reference :262-266)
 SOLVER_ITERATIONS = 200    # APGD iteration count (solver="apgd")
+#: Iteration counts for warm-started rollout solves (``warm_start``):
+#: consecutive simulation steps solve nearly identical cone QPs, so the
+#: previous step's velocity-space primal carried through the scan cuts
+#: the per-step iterations vs the cold (10, 6) hybrid (ROADMAP #3; see
+#: ``ops/sap_solver.solve_cone_qp_hybrid_warm``). The floor is set by
+#: fresh-impact steps (genuine cold starts inside a fixed-count scan):
+#: measured on bouncing-cube rollout states, (6, 6) keeps worst-case
+#: step error ~1e-6 (better than the round-1 APGD-200 default) while
+#: (4, 4) misses hard impacts entirely.
+DEFAULT_WARM_IPM_ITERATIONS = 6
+DEFAULT_WARM_NEWTON_ITERATIONS = 6
 #: Default solver. "hybrid" = interior-point warm start + SAP-Newton
 #: polish (machine-precision worst-case on realistic contact QPs, fewer
 #: sequential iterations); "apgd" = the round-1 FISTA solver. The hybrid
@@ -78,7 +89,11 @@ class MultibodyLearnableSystem(System):
                  solver: str = DEFAULT_SOLVER,
                  ipm_iterations: int = DEFAULT_HYBRID_IPM_ITERATIONS,
                  newton_iterations: int =
-                 DEFAULT_HYBRID_NEWTON_ITERATIONS) -> None:
+                 DEFAULT_HYBRID_NEWTON_ITERATIONS,
+                 warm_start: bool = False,
+                 warm_ipm_iterations: int = DEFAULT_WARM_IPM_ITERATIONS,
+                 warm_newton_iterations: int =
+                 DEFAULT_WARM_NEWTON_ITERATIONS) -> None:
         assert solver in ("hybrid", "apgd")
         self.model = model
         self.dt = dt
@@ -86,6 +101,9 @@ class MultibodyLearnableSystem(System):
         self.solver_iterations = solver_iterations
         self.ipm_iterations = ipm_iterations
         self.newton_iterations = newton_iterations
+        self.warm_start = warm_start
+        self.warm_ipm_iterations = warm_ipm_iterations
+        self.warm_newton_iterations = warm_newton_iterations
         space = model.state_space()
         integrator = Integrator(space, self._partial_step, dt, "velocity")
         super().__init__(space, integrator)
@@ -154,12 +172,61 @@ class MultibodyLearnableSystem(System):
         dv = spd_solve(M, J.T @ impulse)
         return v_minus + dv
 
+    def forward_dynamics_with_state(self, params: MultibodyParams,
+                                    q: Array, v: Array, u: Array,
+                                    w0: Array) -> Tuple[Array, Array]:
+        """Warm-started forward dynamics for sequential rollouts.
+
+        Consecutive simulation steps solve nearly identical cone QPs;
+        carrying the velocity-space primal ``w`` through the rollout scan
+        halves the per-step solver iterations: a short central-path phase
+        (for robustness at fresh impacts, which are genuine cold starts)
+        plus an exact-line-search Newton polish started from the better
+        of the carried and IPM points
+        (``sap_solver.solve_cone_qp_hybrid_warm``, ROADMAP #3).
+
+        Returns ``(v_plus, w)`` with ``w`` the warm-start state to carry.
+        """
+        from dair_pll_tpu.ops.linear import spd_solve
+        from dair_pll_tpu.ops.sap_solver import solve_cone_qp_hybrid_warm
+        dt = self.dt
+        _, M, J, phi, a_nc = multibody_terms(self.model, params, q, v, u)
+        k = phi.shape[-1]
+        phi_then_zero = jnp.concatenate(
+            (phi, jnp.zeros((2 * k,), phi.dtype)))
+        v_minus = v + dt * a_nc
+        q_full = J @ v_minus + phi_then_zero / dt
+
+        impulse, w = solve_cone_qp_hybrid_warm(
+            M, J, q_full, jnp.asarray(DYNAMICS_EPSILON, phi.dtype),
+            w0, self.warm_ipm_iterations, self.warm_newton_iterations)
+        finite = jnp.all(jnp.isfinite(impulse))
+        bounded = jnp.all(jnp.abs(impulse) <= 1e3)
+        valid = finite & bounded
+        impulse = jnp.where(valid, jnp.nan_to_num(impulse),
+                            jnp.zeros_like(impulse))
+        w = jnp.where(valid, jnp.nan_to_num(w), jnp.zeros_like(w))
+
+        active = broadcast_lorentz(phi) <= CONTACT_FILTER_EPS
+        impulse = jnp.where(active, impulse, jnp.zeros_like(impulse))
+        dv = spd_solve(M, J.T @ impulse)
+        return v_minus + dv, w
+
+    def initial_carry(self, x_0: Array) -> Any:
+        """Rollout hidden state: the warm-start primal ``w`` when
+        ``warm_start`` is enabled, else empty."""
+        if self.warm_start:
+            return jnp.zeros((self.model.n_v,), x_0.dtype)
+        return super().initial_carry(x_0)
+
     def _partial_step(self, params: MultibodyParams, x: Array,
                       carry: Any) -> Tuple[Array, Any]:
         """Velocity-integrator callback (reference ``sim_step``,
         ``multibody_learnable_system.py:306-313``)."""
         q, v = self.space.q_v(x)
         u = jnp.zeros((self.model.n_u,), x.dtype)
+        if self.warm_start:
+            return self.forward_dynamics_with_state(params, q, v, u, carry)
         v_plus = self.forward_dynamics(params, q, v, u)
         return v_plus, carry
 

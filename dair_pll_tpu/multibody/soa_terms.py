@@ -473,7 +473,8 @@ def soa_multibody_terms(model: MultibodyModel, params: MultibodyParams,
 def soa_contactnets_loss(model: MultibodyModel, params: MultibodyParams,
                          x: Array, u: Array, x_plus: Array, dt: float,
                          loss_epsilon: float, ipm_iterations: int,
-                         newton_iterations: int) -> Array:
+                         newton_iterations: int,
+                         solver_backend: str = "auto") -> Array:
     """Fused batched ContactNets loss: ``(B, n_x) -> (B,)``.
 
     Numerically matches ``MultibodyLearnableSystem.contactnets_loss``
@@ -515,13 +516,26 @@ def soa_contactnets_loss(model: MultibodyModel, params: MultibodyParams,
           -j_dv[1] + dt * s1,
           -j_dv[2] + dt * s2]
 
-    # Detached hybrid solve (envelope theorem, reference :172-184).
+    # Detached hybrid solve (envelope theorem, reference :172-184). On
+    # TPU the whole solve runs VMEM-resident in one Pallas kernel
+    # (ops/soa_pallas.py); elsewhere through the same SoA code under XLA.
+    if solver_backend == "auto":
+        solver_backend = ("pallas" if jax.default_backend() not in
+                          ("cpu",) else "xla")
     sg = jax.lax.stop_gradient
     M_sg = jax.tree_util.tree_map(sg, M)
     Jc_sg = jax.tree_util.tree_map(sg, Jc)
     qc_sg = jax.tree_util.tree_map(sg, qc)
-    force, valid = soa_solver.solve_contact_impulse_soa(
-        M_sg, Jc_sg, qc_sg, eps, ipm_iterations, newton_iterations)
+    if solver_backend in ("pallas", "pallas_interpret"):
+        from dair_pll_tpu.ops.soa_pallas import (
+            solve_contact_impulse_soa_pallas)
+        force, valid = solve_contact_impulse_soa_pallas(
+            M_sg, Jc_sg, qc_sg, float(loss_epsilon), ipm_iterations,
+            newton_iterations,
+            interpret=solver_backend == "pallas_interpret")
+    else:
+        force, valid = soa_solver.solve_contact_impulse_soa(
+            M_sg, Jc_sg, qc_sg, eps, ipm_iterations, newton_iterations)
     force = jax.tree_util.tree_map(sg, force)
 
     # Loss: 0.5 f'(D + eps I) f + f'q + 0.5 dv'M dv + sum max(-phi,0)^2,

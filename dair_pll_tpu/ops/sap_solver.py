@@ -323,6 +323,43 @@ def solve_contact_impulse_hybrid(delassus: Array, M: Array, J: Array,
     return jnp.nan_to_num(impulse), valid
 
 
+def solve_cone_qp_hybrid_warm(M: Array, J: Array, q: Array, eps,
+                              w_carry: Array,
+                              ipm_iterations: int = 6,
+                              newton_iterations: int = 6
+                              ) -> Tuple[Array, Array]:
+    """Warm-started hybrid solve for sequential rollouts (ROADMAP #3).
+
+    Consecutive simulation steps solve nearly identical cone QPs, so the
+    previous step's velocity-space primal is usually already near the
+    optimum — but a *new* impact is a genuine cold start where semismooth
+    Newton alone can stall in active-set discovery. This keeps a SHORT
+    central-path phase for robustness and then polishes from whichever
+    start is better *by primal cost* (branchless per-sample select):
+
+    1. run ``ipm_iterations`` (default 6, vs 10 cold) IPM iterations;
+    2. pick ``w0 = argmin(l(w_ipm), l(w_carry))``;
+    3. run ``newton_iterations`` exact-line-search Newton steps.
+
+    Measured on bouncing-cube rollout states (f64): worst-case next-
+    velocity error vs the full (10, 6) hybrid is ~1e-6 (one fresh-impact
+    step; all others at machine precision) at 12 vs 16 per-step
+    iterations. Fresh impacts floor the fixed-count budget — fewer IPM
+    iterations (4 or fewer) miss them by O(1).
+
+    Returns ``(impulse (3k,), w)`` with ``w`` the carry for the next step.
+    """
+    from dair_pll_tpu.ops.linear import spd_solve
+    from dair_pll_tpu.ops.socp_solver import solve_cone_qp_ipm_mj
+    eps = jnp.asarray(eps, q.dtype)
+    x_ipm = solve_cone_qp_ipm_mj(M, J, q, eps, ipm_iterations)
+    w_ipm = spd_solve(M, J.T @ x_ipm)
+    cost_ipm, _ = _primal_cost(M, J, q, eps, w_ipm)
+    cost_carry, _ = _primal_cost(M, J, q, eps, w_carry)
+    w0 = jnp.where(cost_carry < cost_ipm, w_carry, w_ipm)
+    return _sap_newton(M, J, q, eps, newton_iterations, w0)
+
+
 def solve_contact_impulse_sap(M: Array, J: Array, q_vec: Array, eps,
                               iterations: int = DEFAULT_NEWTON_ITERATIONS,
                               w0: Optional[Array] = None

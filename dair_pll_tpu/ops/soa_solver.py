@@ -46,29 +46,47 @@ def j_dot(Jc: ConeMat, w: Svec) -> ConeField:
 
 
 def jt_dot(Jc: ConeMat, u: ConeField) -> Svec:
-    """``J^T u`` accumulated over cones and components -> ``(B,)`` svec."""
+    """``J^T u`` accumulated over cones and components -> svec of
+    ``(1, B)`` leaves (keepdims so the same code lowers inside Pallas
+    kernels, which reject rank-1 intermediates)."""
     n_v = len(Jc[0])
     return [jnp.sum(Jc[0][v] * u[0] + Jc[1][v] * u[1] + Jc[2][v] * u[2],
-                    axis=0) for v in range(n_v)]
+                    axis=0, keepdims=True) for v in range(n_v)]
 
 
 def _field_sqnorm(u: ConeField) -> Array:
-    return jnp.sum(u[0] * u[0] + u[1] * u[1] + u[2] * u[2], axis=0)
+    return jnp.sum(u[0] * u[0] + u[1] * u[1] + u[2] * u[2],
+                   axis=0, keepdims=True)
 
 
 def _field_isfinite(u: ConeField) -> Array:
     return jnp.all(jnp.isfinite(u[0]) & jnp.isfinite(u[1]) &
-                   jnp.isfinite(u[2]), axis=0)
+                   jnp.isfinite(u[2]), axis=0, keepdims=True)
+
+
+def _materialize(leaf: Array) -> Array:
+    """Forces a concrete (non-replicated) sublane layout on a broadcast
+    leaf. ``fori_loop`` carries must keep one layout across iterations,
+    and Mosaic cannot relayout non-replicated -> replicated — so carry
+    inits built from broadcasts must be materialized first."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, leaf.shape, 0)
+    # Addition with a non-replicated operand: Mosaic relayouts the
+    # replicated side down (the legal direction), never up.
+    return leaf + jnp.asarray(0, leaf.dtype) * rows.astype(leaf.dtype)
 
 
 def _where_field(mask: Array, a: ConeField, b: ConeField) -> ConeField:
-    """Per-batch select; ``mask`` is ``(B,)``, leaves are ``(k, B)``."""
-    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+    """Per-batch select; ``mask`` broadcasts over the cone axis.
+
+    The broadcast is explicit (``broadcast_to`` before ``where``):
+    Mosaic rejects sublane-replicating relayouts inside ``select``."""
+    return [jnp.where(jnp.broadcast_to(mask, x.shape), x, y)
+            for x, y in zip(a, b)]
 
 
 def _gap(x: ConeField, z: ConeField, k: int) -> Array:
     return jnp.sum(x[0] * z[0] + x[1] * z[1] + x[2] * z[2],
-                   axis=0) / (2.0 * k)
+                   axis=0, keepdims=True) / (2.0 * k)
 
 
 def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
@@ -89,19 +107,21 @@ def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
     sqrt_scale = jnp.sqrt(scale)
     like = qc[0]
     dtype = like.dtype
-    x = [jnp.broadcast_to(sqrt_scale, like.shape),
-         jnp.zeros_like(like), jnp.zeros_like(like)]
+    x = [_materialize(jnp.broadcast_to(sqrt_scale, like.shape)),
+         _materialize(jnp.zeros_like(like)),
+         _materialize(jnp.zeros_like(like))]
     z = [leaf for leaf in x]
 
     def _violation(u: ConeField) -> Array:
         return jnp.sum(jnp.maximum(
-            jnp.sqrt(u[1] * u[1] + u[2] * u[2]) - u[0], 0.0), axis=0)
+            jnp.sqrt(u[1] * u[1] + u[2] * u[2]) - u[0], 0.0),
+            axis=0, keepdims=True)
 
     def merit(x, z, r):
         return _gap(x, z, k) + jnp.sqrt(_field_sqnorm(r)) + \
             1e6 * (_violation(x) + _violation(z))
 
-    def body(carry, _):
+    def body(_, carry):
         x, z, x_best, merit_best = carry
         qx = q_dot(x)
         r = [qx[i] + qc[i] - z[i] for i in range(3)]
@@ -124,7 +144,7 @@ def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
             for v2 in range(v1 + 1):
                 acc = jnp.sum(Jc[0][v1] * AJ[0][v2] +
                               Jc[1][v1] * AJ[1][v2] +
-                              Jc[2][v1] * AJ[2][v2], axis=0)
+                              Jc[2][v1] * AJ[2][v2], axis=0, keepdims=True)
                 S[v1][v2] = S[v1][v2] + acc
                 if v2 < v1:
                     S[v2][v1] = S[v2][v1] + acc
@@ -170,11 +190,13 @@ def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
         move = step_ok & ~converged
         x = _where_field(move, [x[i] + alpha * dx[i] for i in range(3)], x)
         z = _where_field(move, [z[i] + alpha * dz[i] for i in range(3)], z)
-        return (x, z, x_best, merit_best), None
+        return (x, z, x_best, merit_best)
 
+    # fori_loop (not scan): the same function serves as a Pallas kernel
+    # body (ops/soa_pallas.py), where Mosaic supports fori but not scan.
     big = jnp.full_like(scale, jnp.inf)
-    (x, z, x_best, merit_best), _ = jax.lax.scan(
-        body, (x, z, list(x), big), None, length=iterations)
+    (x, z, x_best, merit_best) = jax.lax.fori_loop(
+        0, iterations, body, (x, z, list(x), big))
     qx = q_dot(x)
     r_final = [qx[i] + qc[i] - z[i] for i in range(3)]
     m_final = merit(x, z, r_final)
@@ -186,7 +208,7 @@ def _step_to_boundary(u: ConeField, du: ConeField) -> Array:
     """Min over cones of the per-cone step-to-boundary, capped at 1
     (cf. ``cones.step_to_boundary``). Leaves are ``(k, B)``."""
     alpha = soa_cones.step_to_boundary_one(u, du)     # (k, B)
-    return jnp.minimum(jnp.min(alpha, axis=0), 1.0)
+    return jnp.minimum(jnp.min(alpha, axis=0, keepdims=True), 1.0)
 
 
 # -- SAP-Newton polish -----------------------------------------------------------
@@ -218,7 +240,8 @@ def _crease_breakpoints(z0: ConeField, dz: ConeField) -> List[Array]:
     for r in (r1, r2):
         valid = (r > 1e-12) & (r < 1.0) & ~no_root
         clipped = jnp.where(valid, r, jnp.ones_like(r))   # (k, B)
-        out.extend(clipped[c] for c in range(k))
+        # Keep rows 2D ((1, B)) — Pallas kernel bodies reject rank-1.
+        out.extend(clipped[c:c + 1] for c in range(k))
     return out
 
 
@@ -237,13 +260,13 @@ def _line_search(M: Smat, Jc: ConeMat, qc: ConeField, eps, w: Svec,
         za = [z0[i] + alpha * dz[i] for i in range(3)]
         gamma = soa_cones.project(za)
         return a0 + a1 * alpha + eps * jnp.sum(
-            dz[0] * gamma[0] + dz[1] * gamma[1] + dz[2] * gamma[2], axis=0)
+            dz[0] * gamma[0] + dz[1] * gamma[1] + dz[2] * gamma[2], axis=0, keepdims=True)
 
     def g_second(alpha):
         za = [z0[i] + alpha * dz[i] for i in range(3)]
         Ddz = soa_cones.projection_jacobian_apply(za, dz)
         return a1 + eps * jnp.sum(
-            dz[0] * Ddz[0] + dz[1] * Ddz[1] + dz[2] * Ddz[2], axis=0)
+            dz[0] * Ddz[0] + dz[1] * Ddz[1] + dz[2] * Ddz[2], axis=0, keepdims=True)
 
     candidates = soa.sort_values(
         [jnp.zeros_like(a0)] + _crease_breakpoints(z0, dz) +
@@ -289,7 +312,7 @@ def sap_newton(M: Smat, Jc: ConeMat, qc: ConeField, eps, iterations: int,
     n_v = len(M)
     inv_eps = 1.0 / eps
 
-    def newton_step(w, _):
+    def newton_step(_, w):
         jw = j_dot(Jc, w)
         z = [-(jw[i] + qc[i]) * inv_eps for i in range(3)]
         gamma = soa_cones.project(z)
@@ -303,16 +326,16 @@ def sap_newton(M: Smat, Jc: ConeMat, qc: ConeField, eps, iterations: int,
             for v2 in range(v1 + 1):
                 acc = inv_eps * jnp.sum(
                     Jc[0][v1] * DJ[0][v2] + Jc[1][v1] * DJ[1][v2] +
-                    Jc[2][v1] * DJ[2][v2], axis=0)
+                    Jc[2][v1] * DJ[2][v2], axis=0, keepdims=True)
                 H[v1][v2] = H[v1][v2] + acc
                 if v2 < v1:
                     H[v2][v1] = H[v2][v1] + acc
         for i in range(n_v):
             H[i][i] = H[i][i] + 1e-10
         dw = [-g for g in soa.spd_solve(H, grad)]
-        return _line_search(M, Jc, qc, eps, w, dw), None
+        return _line_search(M, Jc, qc, eps, w, dw)
 
-    w, _ = jax.lax.scan(newton_step, w0, None, length=iterations)
+    w = jax.lax.fori_loop(0, iterations, newton_step, w0)
     jw = j_dot(Jc, w)
     gamma = soa_cones.project(
         [-(jw[i] + qc[i]) * inv_eps for i in range(3)])
@@ -333,7 +356,7 @@ def solve_contact_impulse_soa(M: Smat, Jc: ConeMat, qc: ConeField, eps,
     finite = _field_isfinite(gamma)
     bounded = jnp.all((jnp.abs(gamma[0]) <= 1e3) &
                       (jnp.abs(gamma[1]) <= 1e3) &
-                      (jnp.abs(gamma[2]) <= 1e3), axis=0)
+                      (jnp.abs(gamma[2]) <= 1e3), axis=0, keepdims=True)
     valid = finite & bounded
     gamma = [jnp.where(valid, jnp.nan_to_num(comp),
                        jnp.zeros_like(comp)) for comp in gamma]

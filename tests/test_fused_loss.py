@@ -104,6 +104,36 @@ def test_fused_default_selection():
     assert not apgd.supports_fused_loss()
 
 
+def test_pallas_solver_kernel_matches_soa_solver():
+    """The Pallas hybrid-solve kernel (interpret mode on CPU) is
+    bit-identical to the XLA SoA solve — same code, same order."""
+    import jax.numpy as jnp
+    from dair_pll_tpu.ops.soa_pallas import solve_contact_impulse_soa_pallas
+    from dair_pll_tpu.ops.soa_solver import solve_contact_impulse_soa
+
+    B, k, n_v = 48, 4, 6
+    key = jax.random.PRNGKey(0)
+    kM, kJ, kq = jax.random.split(key, 3)
+    A = jax.random.normal(kM, (n_v, n_v, B), jnp.float64)
+    M = [[sum(A[i][l] * A[j][l] for l in range(n_v)) +
+          (2.0 if i == j else 0.0) for j in range(n_v)]
+         for i in range(n_v)]
+    J = jax.random.normal(kJ, (3, n_v, k, B), jnp.float64)
+    Jc = [[J[i, v] for v in range(n_v)] for i in range(3)]
+    q = jax.random.normal(kq, (3, k, B), jnp.float64)
+    qc = [q[i] for i in range(3)]
+
+    f_ref, v_ref = solve_contact_impulse_soa(M, Jc, qc, 1e-3, 10, 6)
+    # block=32 does not divide B evenly on purpose: exercises padding.
+    f_pal, v_pal = solve_contact_impulse_soa_pallas(
+        M, Jc, qc, 1e-3, 10, 6, block=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.stack(f_pal)),
+                               np.asarray(jnp.stack(f_ref)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_array_equal(
+        np.asarray(v_pal).reshape(-1), np.asarray(v_ref).reshape(-1))
+
+
 def test_fused_batch_shape():
     """Fused path preserves leading batch shape like the reference path."""
     model = build_multibody_model({"cube": get_asset("cube")})
