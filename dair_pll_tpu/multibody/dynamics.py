@@ -135,7 +135,7 @@ def lagrangian_terms(model, pi_cm: Array, q: Array, v: Array,
     if model.n_u > 0:
         u_index = 0
         for body_index, body in enumerate(model.bodies):
-            if body.joint.joint_type == "revolute" and body.joint.actuated:
+            if body.joint.joint_type in ("revolute", "prismatic") and body.joint.actuated:
                 v_off = model.body_v_offset(body_index)
                 actuation = actuation.at[v_off].add(u[u_index])
                 u_index += 1
@@ -197,7 +197,7 @@ def lagrangian_terms_from_kinematics(model, pi_cm: Array, kin, kin_dot,
     if model.n_u > 0:
         u_index = 0
         for body_index, body in enumerate(model.bodies):
-            if body.joint.joint_type == "revolute" and body.joint.actuated:
+            if body.joint.joint_type in ("revolute", "prismatic") and body.joint.actuated:
                 v_off = model.body_v_offset(body_index)
                 actuation = actuation.at[v_off].add(u[u_index])
                 u_index += 1

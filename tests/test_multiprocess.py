@@ -1,0 +1,171 @@
+"""Multi-process scale-out integration tests (round-1 VERDICT item 6).
+
+The heavyweight test launches TWO real ``jax.distributed`` CPU processes
+(4 virtual devices each -> a global 8-device mesh), feeds per-process
+local data through ``make_array_from_process_local_data``, trains the
+cube ContactNets system 3 steps with the SPMD shard_map step, and checks
+the parameters match the single-process 8-device result.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    return port
+
+
+def _single_process_reference():
+    """Same 3 training steps on this process's own 8-device mesh."""
+    from dair_pll_tpu.assets import get_asset
+    from dair_pll_tpu.multibody.learnable_system import (
+        MultibodyLearnableSystem)
+    from dair_pll_tpu.parallel.sharding import (make_data_parallel_step,
+                                                make_mesh, replicate,
+                                                shard_batch)
+    from dair_pll_tpu.urdf import build_multibody_model
+
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, 0.0068)
+    params = model.initial_params(jnp.float64)
+    optimizer = optax.adam(1e-3)
+
+    B = 64
+    rng = np.random.default_rng(20260817)
+    x = rng.standard_normal((B, 13))
+    x[:, :4] /= np.linalg.norm(x[:, :4], axis=-1, keepdims=True)
+    x[:, 6] = 0.03 + 0.05 * rng.random(B)
+    xp = x + 0.005 * rng.standard_normal((B, 13))
+    xp[:, :4] /= np.linalg.norm(xp[:, :4], axis=-1, keepdims=True)
+
+    mesh = make_mesh()
+
+    def loss_fn(p, x_past, x_future):
+        u = jnp.zeros((x_past.shape[0], 0), x_past.dtype)
+        return system.contactnets_loss_batch(p, x_past, u, x_future)
+
+    step = make_data_parallel_step(loss_fn, optimizer, mesh)
+    params = replicate(params, mesh)
+    opt_state = replicate(optimizer.init(params), mesh)
+    x_g = shard_batch(jnp.asarray(x), mesh)
+    xp_g = shard_batch(jnp.asarray(xp), mesh)
+    for _ in range(3):
+        params, opt_state, _ = step(params, opt_state, x_g, xp_g)
+    return [np.asarray(leaf)
+            for leaf in jax.tree_util.tree_leaves(params)]
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    out_path = str(tmp_path / "mp_params.npz")
+    worker = os.path.join(REPO, "tests", "mp_worker.py")
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid), out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    outputs = []
+    for proc in procs:
+        out, _ = proc.communicate(timeout=900)
+        outputs.append(out.decode(errors="replace"))
+    for proc, out in zip(procs, outputs):
+        assert proc.returncode == 0, out[-3000:]
+    assert os.path.exists(out_path), outputs[0][-3000:]
+
+    stored = np.load(out_path)
+    mp_leaves = [stored[key] for key in stored.files if key != "loss"]
+    ref_leaves = _single_process_reference()
+    assert len(mp_leaves) == len(ref_leaves)
+    for got, want in zip(mp_leaves, ref_leaves):
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_file_trial_coordinator_claims_and_gathers(tmp_path):
+    """Claim atomicity + result gathering across two concurrent
+    claimants (threads suffice: O_CREAT|O_EXCL is the atomic boundary)."""
+    import threading
+
+    from dair_pll_tpu.parallel.multiprocess import FileTrialCoordinator
+
+    root = str(tmp_path / "coord")
+    a = FileTrialCoordinator(root)
+    b = FileTrialCoordinator(root)
+    indices = list(range(12))
+    wins: dict = {"a": [], "b": []}
+
+    def run(name, coord):
+        for index in coord.claim_iter(0, indices):
+            wins[name].append(index)
+            coord.publish_result(0, index, {"valid_loss": float(index),
+                                            "epochs_run": 2})
+
+    threads = [threading.Thread(target=run, args=("a", a)),
+               threading.Thread(target=run, args=("b", b))]
+    for thread in threads:
+        thread.start()
+    for thread in threads:
+        thread.join()
+
+    # Every trial claimed exactly once across the two claimants.
+    assert sorted(wins["a"] + wins["b"]) == indices
+    results = a.gather_results(0, indices, timeout_s=5.0)
+    assert set(results) == set(indices)
+    assert results[7]["valid_loss"] == 7.0
+
+
+def test_study_with_coordinator_single_process(tmp_path, monkeypatch):
+    """The study's cross-process rung loop degrades to the serial path
+    when one process claims everything (deterministic suggestions)."""
+    from dair_pll_tpu import study as study_mod
+    from dair_pll_tpu.hyperparameter import Float, Int
+    from dair_pll_tpu.data.config import DataConfig, TrajectorySliceConfig
+    from dair_pll_tpu.training.config import (
+        OptimizerConfig, SupervisedLearningExperimentConfig)
+
+    calls = []
+
+    class StubExperiment:
+        def __init__(self, config):
+            self.config = config
+
+        def train(self, callback):
+            calls.append(self.config.run_name)
+            lr = float(self.config.optimizer_config.lr.value)
+            return 0.0, abs(np.log10(lr) + 4.0), None
+
+    base = SupervisedLearningExperimentConfig(
+        data_config=DataConfig(dt=0.01,
+                               slice_config=TrajectorySliceConfig()),
+        base_config=None, learnable_config=None,
+        optimizer_config=OptimizerConfig(
+            lr=Float(1e-3, log=True, low=1e-6, high=1e-1),
+            wd=Float(0.0, log=False, low=0.0, high=0.1),
+            patience=4, epochs=4, batch_size=Int(8)),
+        storage=str(tmp_path / "storage"), run_name="stub")
+
+    config = study_mod.StudyConfig(
+        experiment_factory=StubExperiment, base_config=base,
+        study_name="coord_study", n_trials=4, min_epochs=2,
+        coordination_dir=str(tmp_path / "coord"))
+    best = study_mod.Study(config).optimize_hyperparameters()
+    assert "optimizer_config.lr" in best
+    assert calls  # trials actually ran through the coordinator path
