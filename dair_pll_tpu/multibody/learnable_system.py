@@ -48,16 +48,18 @@ LOSS_EPSILON = 1e-3        # loss QP regularization (reference :130)
 DYNAMICS_EPSILON = 1e-4    # dynamics QP regularization (reference :283)
 CONTACT_FILTER_EPS = 1e6   # phi activation threshold (reference :262-266)
 SOLVER_ITERATIONS = 200    # APGD iteration count (solver="apgd")
-#: Iteration counts for warm-started rollout solves (``warm_start``):
-#: consecutive simulation steps solve nearly identical cone QPs, so the
-#: previous step's velocity-space primal carried through the scan cuts
-#: the per-step iterations vs the cold (10, 6) hybrid (ROADMAP #3; see
-#: ``ops/sap_solver.solve_cone_qp_hybrid_warm``). The floor is set by
-#: fresh-impact steps (genuine cold starts inside a fixed-count scan):
-#: measured on bouncing-cube rollout states, (6, 6) keeps worst-case
-#: step error ~1e-6 (better than the round-1 APGD-200 default) while
-#: (4, 4) misses hard impacts entirely.
-DEFAULT_WARM_IPM_ITERATIONS = 6
+#: Iteration counts for warm-started rollout solves (``warm_start``;
+#: see ``ops/sap_solver.solve_cone_qp_hybrid_warm``). Measured finding
+#: (ROADMAP #3, batched bouncing-cube rollouts at f64): fresh impacts
+#: are genuine cold starts that need the FULL central-path length —
+#: sweeping (ipm, newton) over {(4,4)..(8,8)} leaves O(1) worst-case
+#: step errors at some impact in a 16-toss batch, while (10, 6) is at
+#: machine precision. Warm-starting therefore cannot cut a fixed-count
+#: branchless scan's per-step budget; the carry is kept because it
+#: improves accuracy at equal cost (Newton converges in ~1 iteration on
+#: persistent-contact steps). Rollout THROUGHPUT wins come from the
+#: fused SoA scan (``simulate_batch``) instead.
+DEFAULT_WARM_IPM_ITERATIONS = 10
 DEFAULT_WARM_NEWTON_ITERATIONS = 6
 #: Default solver. "hybrid" = interior-point warm start + SAP-Newton
 #: polish (machine-precision worst-case on realistic contact QPs, fewer
@@ -68,6 +70,11 @@ DEFAULT_SOLVER = "hybrid"
 #: Flattened batch size above which the batched ContactNets loss
 #: auto-routes to the fused batch-minor SoA path (``multibody/soa_terms``).
 FUSED_LOSS_MIN_BATCH = 2048
+#: Flattened batch size above which batched rollouts auto-route to the
+#: fused SoA scan (warm-started solves, batch-minor terms). Gradient
+#: training rollouts (small batches) stay on the vmapped integrator
+#: whose solver has the IFT custom VJP.
+FUSED_ROLLOUT_MIN_BATCH = 1024
 
 
 class MultibodyLearnableSystem(System):
@@ -235,6 +242,50 @@ class MultibodyLearnableSystem(System):
         x_next, _ = self.integrator.step(
             params, x, self.initial_carry(x))
         return x_next
+
+    def simulate_batch(self, params: MultibodyParams, x_0: Array,
+                       steps: int,
+                       use_fused: Optional[bool] = None) -> Array:
+        """Batched rollout ``(*, n_x) -> (*, steps + 1, n_x)``.
+
+        For supported models at production batch sizes the whole rollout
+        runs fused (``soa_terms.soa_forward_dynamics_batch``): batch-minor
+        terms + warm-started hybrid solves inside one ``lax.scan``, with
+        the SAP primal carried between steps. Differentiating through
+        this path unrolls the solver (memory-heavy) — gradient training
+        paths (small batches) auto-route to the vmapped integrator whose
+        solver has the IFT custom VJP.
+        """
+        batch_shape = x_0.shape[:-1]
+        n_batch = int(np.prod(batch_shape)) if batch_shape else 1
+        if use_fused is None:
+            use_fused = (n_batch >= FUSED_ROLLOUT_MIN_BATCH and
+                         self.supports_fused_loss())
+        if not use_fused:
+            return super().simulate_batch(params, x_0, steps)
+
+        from dair_pll_tpu.multibody.soa_terms import (
+            soa_forward_dynamics_batch)
+        space = self.space
+        dt = self.dt
+        flat = x_0.reshape((n_batch, x_0.shape[-1]))
+
+        def step(carry, _):
+            x, w = carry
+            v_plus, w = soa_forward_dynamics_batch(
+                self.model, params, x, w, dt, DYNAMICS_EPSILON,
+                CONTACT_FILTER_EPS, self.warm_ipm_iterations,
+                self.warm_newton_iterations)
+            q_next = space.euler_step(space.q(x), v_plus, dt)
+            x_next = space.x(q_next, v_plus)
+            return (x_next, w), x_next
+
+        w0 = jnp.zeros((n_batch, self.model.n_v), x_0.dtype)
+        _, xs = jax.lax.scan(step, (flat, w0), None, length=steps)
+        trajectory = jnp.concatenate((flat[None], xs), axis=0)
+        trajectory = jnp.moveaxis(trajectory, 0, 1)
+        return trajectory.reshape(
+            batch_shape + (steps + 1, x_0.shape[-1]))
 
     # -- ContactNets loss ------------------------------------------------------
     def _contactnets_qp(self, params: MultibodyParams, x: Array, u: Array,

@@ -32,7 +32,7 @@ from jax import Array
 from dair_pll_tpu import inertia as inertia_mod
 from dair_pll_tpu.geometry import _UNIT_BOX_VERTICES
 from dair_pll_tpu.multibody.model import MultibodyModel, MultibodyParams
-from dair_pll_tpu.ops import soa, soa_solver
+from dair_pll_tpu.ops import soa, soa_cones, soa_solver
 from dair_pll_tpu.ops.soa import Smat, Svec
 
 GRAVITY_ACCELERATION = 9.81
@@ -495,6 +495,89 @@ def soa_multibody_terms(model: MultibodyModel, params: MultibodyParams,
     phi, Jc = soa_contact_terms(model, params, kin, q[0])
     a_nc = soa.spd_solve(M, F)
     return M, Jc, phi, a_nc
+
+
+# -- fused forward dynamics (rollouts) ----------------------------------------
+def soa_forward_dynamics_batch(model: MultibodyModel,
+                               params: MultibodyParams, x: Array,
+                               w0: Array, dt: float,
+                               dynamics_epsilon: float,
+                               contact_filter_eps: float,
+                               ipm_iterations: int,
+                               newton_iterations: int
+                               ) -> Tuple[Array, Array]:
+    """Fused batched Anitescu forward dynamics: ``(B, n_x) -> (B, n_v)``.
+
+    The batch-minor counterpart of
+    ``MultibodyLearnableSystem.forward_dynamics_with_state`` for rollout
+    scans: terms, the warm-started hybrid solve (short IPM phase +
+    exact-line-search Newton from the better of the carried and IPM
+    starts, cf. ``sap_solver.solve_cone_qp_hybrid_warm``), the contact
+    activation filter, and the velocity update all run in SoA form.
+
+    Args:
+        x: ``(B, n_x)`` states.
+        w0: ``(B, n_v)`` carried warm-start primals (zeros to cold-start).
+
+    Returns:
+        ``(v_plus (B, n_v), w (B, n_v))``.
+    """
+    n_q = model.n_q
+    n_v = model.n_v
+    dtype = x.dtype
+    eps = jnp.asarray(dynamics_epsilon, dtype)
+
+    xT = x.T
+    q = soa.unstack(xT[:n_q])
+    v = soa.unstack(xT[n_q:n_q + n_v])
+    u_soa: List[Array] = []
+
+    M, Jc, phi, a_nc = soa_multibody_terms(model, params, q, v, u_soa)
+    v_minus = [v[i] + dt * a_nc[i] for i in range(n_v)]
+    jv = soa_solver.j_dot(Jc, v_minus)
+    qc = [jv[0] + phi / dt, jv[1], jv[2]]
+
+    def primal_cost(w: List[Array]) -> Array:
+        jw = soa_solver.j_dot(Jc, w)
+        gamma = soa_cones.project([-(jw[i] + qc[i]) / eps
+                                   for i in range(3)])
+        quad = 0.5 * soa.dot(w, soa.matvec(M, w))
+        return quad + 0.5 * eps * jnp.sum(
+            gamma[0] ** 2 + gamma[1] ** 2 + gamma[2] ** 2, axis=0,
+            keepdims=True)
+
+    # Warm-started hybrid: short central path, then Newton from the
+    # better of (carried w, IPM w) by primal cost — per sample.
+    x_ipm = soa_solver.solve_ipm_mj(M, Jc, qc, eps, ipm_iterations)
+    w_ipm = soa.spd_solve(M, soa_solver.jt_dot(Jc, x_ipm))
+    w_carry = [w0.T[i][None, :] for i in range(n_v)]
+    better = primal_cost(w_carry) < primal_cost(w_ipm)
+    w_init = [jnp.where(better, w_carry[i], w_ipm[i])
+              for i in range(n_v)]
+    gamma, w = soa_solver.sap_newton(M, Jc, qc, eps, newton_iterations,
+                                     w_init)
+
+    # Failure masking + contact activation filter (inactive at physical
+    # scales; reference multibody_learnable_system.py:186-192, 262-301).
+    finite = jnp.all(jnp.isfinite(gamma[0]) & jnp.isfinite(gamma[1]) &
+                     jnp.isfinite(gamma[2]), axis=0, keepdims=True)
+    bounded = jnp.all((jnp.abs(gamma[0]) <= 1e3) &
+                      (jnp.abs(gamma[1]) <= 1e3) &
+                      (jnp.abs(gamma[2]) <= 1e3), axis=0, keepdims=True)
+    valid = finite & bounded
+    gamma = [jnp.where(valid, jnp.nan_to_num(comp),
+                       jnp.zeros_like(comp)) for comp in gamma]
+    w = [jnp.where(valid, jnp.nan_to_num(comp), jnp.zeros_like(comp))
+         for comp in w]
+    active = phi <= contact_filter_eps
+    gamma = [jnp.where(active, comp, jnp.zeros_like(comp))
+             for comp in gamma]
+
+    dv = soa.spd_solve(M, soa_solver.jt_dot(Jc, gamma))
+    v_plus = jnp.stack(
+        [(v_minus[i] + dv[i]).reshape(-1) for i in range(n_v)], axis=-1)
+    w_out = jnp.stack([comp.reshape(-1) for comp in w], axis=-1)
+    return v_plus, w_out
 
 
 # -- ContactNets loss -------------------------------------------------------------

@@ -325,7 +325,7 @@ def solve_contact_impulse_hybrid(delassus: Array, M: Array, J: Array,
 
 def solve_cone_qp_hybrid_warm(M: Array, J: Array, q: Array, eps,
                               w_carry: Array,
-                              ipm_iterations: int = 6,
+                              ipm_iterations: int = 10,
                               newton_iterations: int = 6
                               ) -> Tuple[Array, Array]:
     """Warm-started hybrid solve for sequential rollouts (ROADMAP #3).
@@ -337,15 +337,17 @@ def solve_cone_qp_hybrid_warm(M: Array, J: Array, q: Array, eps,
     central-path phase for robustness and then polishes from whichever
     start is better *by primal cost* (branchless per-sample select):
 
-    1. run ``ipm_iterations`` (default 6, vs 10 cold) IPM iterations;
+    1. run ``ipm_iterations`` IPM iterations;
     2. pick ``w0 = argmin(l(w_ipm), l(w_carry))``;
     3. run ``newton_iterations`` exact-line-search Newton steps.
 
-    Measured on bouncing-cube rollout states (f64): worst-case next-
-    velocity error vs the full (10, 6) hybrid is ~1e-6 (one fresh-impact
-    step; all others at machine precision) at 12 vs 16 per-step
-    iterations. Fresh impacts floor the fixed-count budget — fewer IPM
-    iterations (4 or fewer) miss them by O(1).
+    Measured on batched bouncing-cube rollouts (f64): fresh impacts are
+    genuine cold starts that need the full central-path length — any
+    reduction of the IPM phase below 10 leaves O(1) worst-case step
+    errors at some impact, so warm-starting cannot shrink a fixed-count
+    branchless scan's budget. The carried start is still selected when
+    it wins on primal cost: accuracy improves at equal cost (Newton
+    converges in ~1 iteration on persistent-contact steps).
 
     Returns ``(impulse (3k,), w)`` with ``w`` the carry for the next step.
     """

@@ -50,9 +50,19 @@ def main():
     results = {}
     warm_name = (f"warm_hybrid_{warm.warm_ipm_iterations}_"
                  f"{warm.warm_newton_iterations}")
-    for name, system in (("cold_hybrid_10_6", cold), (warm_name, warm)):
-        roll = jax.jit(lambda x: system.simulate_batch(  # noqa: B023
-            params, x, steps))
+    variants = (
+        ("vmapped_cold_hybrid_10_6",
+         lambda x: cold.simulate_batch(params, x, steps,
+                                       use_fused=False)),
+        (f"vmapped_{warm_name}",
+         lambda x: warm.simulate_batch(params, x, steps,
+                                       use_fused=False)),
+        ("fused_soa_scan",
+         lambda x: cold.simulate_batch(params, x, steps,
+                                       use_fused=True)),
+    )
+    for name, fn in variants:
+        roll = jax.jit(fn)
         traj = roll(x0)
         float(jnp.sum(traj[:, -1]))
         times = []
@@ -69,9 +79,9 @@ def main():
         print(f"{name}: {med*1e3:.1f} ms for {n_traj}x{steps} steps -> "
               f"{throughput:,.0f} contact sim steps/sec", flush=True)
 
-    results["speedup"] = round(
-        results["cold_hybrid_10_6"]["wall_ms"] /
-        results[warm_name]["wall_ms"], 3)
+    results["speedup_fused_vs_vmapped"] = round(
+        results["vmapped_cold_hybrid_10_6"]["wall_ms"] /
+        results["fused_soa_scan"]["wall_ms"], 3)
     results["config"] = {"n_traj": n_traj, "steps": steps,
                          "dt": 0.0068, "device": str(jax.devices()[0])}
     out = os.path.join(os.path.dirname(os.path.dirname(
@@ -79,7 +89,8 @@ def main():
         "simulation_throughput.json")
     with open(out, "w", encoding="utf-8") as handle:
         json.dump(results, handle, indent=2)
-    print(json.dumps({"speedup_warm_vs_cold": results["speedup"]}))
+    print(json.dumps({"speedup_fused_vs_vmapped":
+        results["speedup_fused_vs_vmapped"]}))
 
 
 if __name__ == "__main__":

@@ -208,8 +208,28 @@ def test_warm_start_steps_match_full_hybrid(cube):
         return carry, jnp.max(jnp.abs(vp_warm - vp_cold))
 
     _, errs = jax.lax.scan(step, warm.initial_carry(x0), traj)
-    # Fresh impacts are cold starts; (6, 6) keeps them to ~1e-6 (better
-    # than the round-1 APGD-200 default's p95 2e-7 / max 2e-5 band).
-    assert float(jnp.max(errs)) < 1e-5
-    # Persistent-contact / free-flight steps hit machine precision.
+    # At the (10, 6) default the warm path matches the cold hybrid to
+    # machine precision everywhere, including fresh impacts.
+    assert float(jnp.max(errs)) < 1e-8
     assert float(jnp.median(errs)) < 1e-12
+
+
+def test_fused_rollout_matches_vmapped(cube):
+    """The fused SoA batched rollout (scan of batch-minor terms +
+    warm hybrid solves) matches the vmapped integrator over a short
+    horizon of random tosses."""
+    model, params = cube
+    system = MultibodyLearnableSystem(model, 0.0068)
+    rng = np.random.default_rng(0)
+    B = 12
+    quat = rng.standard_normal((B, 4))
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    x0 = jnp.asarray(np.concatenate(
+        [quat, 0.02 * rng.standard_normal((B, 2)),
+         0.1 + 0.05 * rng.random((B, 1)),
+         rng.standard_normal((B, 6)) * [2, 2, 2, 0.5, 0.5, 0.2]],
+        axis=-1))
+    ref = system.simulate_batch(params, x0, 20, use_fused=False)
+    fused = system.simulate_batch(params, x0, 20, use_fused=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=1e-7)
