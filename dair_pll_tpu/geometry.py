@@ -18,8 +18,10 @@ JAX rebuild of the reference's ``geometry.py``
   ``lax.stop_gradient`` — same piecewise-constant-direction assumption the
   reference makes (``geometry.py:598-601``).
 
-Supported shapes (reference type ordering ``geometry.py:46``):
-``Plane < Polygon < Box < Sphere < DeepSupportConvex``.
+Supported shapes (reference type ordering ``geometry.py:46``, plus the
+cylinder the reference only documents as a support-function example,
+``geometry.py:100-118``):
+``Plane < Polygon < Box < Cylinder < Sphere < DeepSupportConvex``.
 """
 from __future__ import annotations
 
@@ -36,7 +38,19 @@ from dair_pll_tpu.ops import icnn
 from dair_pll_tpu.ops.tensor import rotation_matrix_from_one_vector
 
 GEOMETRY_TYPE_ORDER = (
-    "plane", "polygon", "box", "sphere", "deep_support_convex")
+    "plane", "polygon", "box", "cylinder", "sphere",
+    "deep_support_convex")
+
+#: Fixed support-direction perturbations for shapes whose support SET is
+#: degenerate along some directions (cylinder disk/line contact): the
+#: perturbed witnesses straddle the true contact set (same trick the
+#: reference uses for deep support functions, geometry.py:306-325).
+_CYLINDER_PERTURBATIONS = np.array([
+    [0.0, 0.0, 0.0],
+    [0.25, 0.14, 0.22],
+    [-0.25, 0.14, -0.22],
+    [0.0, -0.28, 0.11],
+])
 
 _POLYGON_DEFAULT_N_QUERY = 4
 _DEEP_SUPPORT_DEFAULT_N_QUERY = 4
@@ -74,7 +88,9 @@ class CollisionGeometrySpec:
         mu: initial friction coefficient.
         n_query: witness points returned per support query.
         half_lengths_init: box initial half lengths.
-        radius_init: sphere initial radius.
+        radius_init: sphere / cylinder initial radius.
+        half_length_init: cylinder initial half length (axis = geometry
+          z).
         vertices_init: polygon / deep-support initial vertex set rows.
         icnn_depth / icnn_width: deep support function network size.
         name: geometry name for logging.
@@ -87,6 +103,7 @@ class CollisionGeometrySpec:
     n_query: int = _POLYGON_DEFAULT_N_QUERY
     half_lengths_init: Optional[Tuple[float, ...]] = None
     radius_init: Optional[float] = None
+    half_length_init: Optional[float] = None
     vertices_init: Optional[Tuple[Tuple[float, ...], ...]] = None
     icnn_depth: int = _DEEP_SUPPORT_DEFAULT_DEPTH
     icnn_width: int = _DEEP_SUPPORT_DEFAULT_WIDTH
@@ -120,6 +137,9 @@ def default_geometry_params(spec: CollisionGeometrySpec, dtype=jnp.float32):
         return {"half_lengths": jnp.asarray(spec.half_lengths_init, dtype)}
     if spec.geom_type == "sphere":
         return {"radius": jnp.asarray(spec.radius_init, dtype)}
+    if spec.geom_type == "cylinder":
+        return {"radius": jnp.asarray(spec.radius_init, dtype),
+                "half_length": jnp.asarray(spec.half_length_init, dtype)}
     if spec.geom_type == "polygon":
         return {"vertices": jnp.asarray(spec.vertices_init, dtype)}
     if spec.geom_type == "deep_support_convex":
@@ -175,10 +195,28 @@ def support_function(spec: CollisionGeometrySpec, params,
         return jnp.max(vertices @ direction)
     if spec.geom_type == "sphere":
         return jnp.abs(params["radius"])
+    if spec.geom_type == "cylinder":
+        # h(d) = r ||d_xy|| + L |d_z| for a z-axis cylinder (the
+        # reference documents exactly this example, geometry.py:100-118).
+        return (jnp.abs(params["radius"]) *
+                jnp.linalg.norm(direction[:2]) +
+                jnp.abs(params["half_length"]) * jnp.abs(direction[2]))
     if spec.geom_type == "deep_support_convex":
         return icnn.icnn_value(params["icnn"], direction,
                                spec.icnn_negative_slope)
     raise ValueError(f"no support function for {spec.geom_type}")
+
+
+def _cylinder_support_point(params, direction: Array) -> Array:
+    """Support point of a z-axis cylinder for one direction (safe at the
+    degenerate axial/radial directions; subgradient selection)."""
+    radius = jnp.abs(params["radius"])
+    half_length = jnp.abs(params["half_length"])
+    d_xy = direction[:2]
+    s = jnp.sqrt(jnp.maximum(jnp.sum(d_xy * d_xy), 1e-18))
+    hat = d_xy / s
+    return jnp.concatenate((
+        radius * hat, (half_length * jnp.sign(direction[2]))[None]))
 
 
 def support_points(spec: CollisionGeometrySpec, params,
@@ -201,6 +239,15 @@ def support_points(spec: CollisionGeometrySpec, params,
     if spec.geom_type == "sphere":
         radius = jnp.abs(params["radius"])
         return (direction * radius)[None, :]
+    if spec.geom_type == "cylinder":
+        # Perturbed directions straddle the (possibly degenerate: disk
+        # or line) support set, like the deep-support witnesses.
+        perturbed = direction[None, :] + jnp.asarray(
+            _CYLINDER_PERTURBATIONS[:spec.n_query], direction.dtype)
+        perturbed = perturbed / jnp.linalg.norm(
+            perturbed, axis=-1, keepdims=True)
+        return jax.vmap(
+            lambda d: _cylinder_support_point(params, d))(perturbed)
     if spec.geom_type == "deep_support_convex":
         # Perturbed directions stabilize mesh-plane contact
         # (reference geometry.py:306-325).
@@ -221,6 +268,10 @@ def geometry_scalars(spec: CollisionGeometrySpec, params) -> dict:
         return {f"len_{a}": 2.0 * float(v) for a, v in zip(axes, half)}
     if spec.geom_type == "sphere":
         return {"radius": float(np.abs(np.asarray(params["radius"])))}
+    if spec.geom_type == "cylinder":
+        return {"radius": float(np.abs(np.asarray(params["radius"]))),
+                "length": 2.0 * float(np.abs(np.asarray(
+                    params["half_length"])))}
     if spec.geom_type == "polygon":
         vertices = np.asarray(params["vertices"])
         out = {}
@@ -329,6 +380,8 @@ def icnn_or_support_point(spec: CollisionGeometrySpec, params,
         return vertices[idx]
     if spec.geom_type == "sphere":
         return direction * jnp.abs(params["radius"])
+    if spec.geom_type == "cylinder":
+        return _cylinder_support_point(params, direction)
     raise ValueError(spec.geom_type)
 
 

@@ -151,6 +151,26 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
                 videos[f"{set_name}_trajectory_overlay"] = (video, fps)
             except Exception:
                 continue
+            try:
+                # Interactive three.js viewer alongside the video
+                # (ROADMAP item 8; beyond the reference).
+                import os
+
+                from dair_pll_tpu.interactive_vis import (
+                    export_interactive_html)
+                from dair_pll_tpu.utils import file_utils
+                out_dir = os.path.join(file_utils.run_dir(
+                    self.config.storage, self.config.run_name),
+                    "interactive")
+                export_interactive_html(
+                    self.learned_system.model, video_params,
+                    statistics[prediction_key][0],
+                    statistics[target_key][0],
+                    self.config.data_config.dt,
+                    os.path.join(out_dir, f"{set_name}_overlay.html"),
+                    title=f"{self.config.run_name} {set_name}")
+            except Exception:
+                continue
         return videos
 
     def parameter_update_mask(self, params: Any) -> Optional[Any]:

@@ -7,11 +7,14 @@ small, self-contained URDF front end covering the feature set of the
 reference's assets (``assets/contactnets_cube.urdf``,
 ``assets/contactnets_elbow.urdf`` and their ``_mesh`` variants):
 
-* links with ``<inertial>`` (origin xyz/rpy, mass, full inertia tensor),
-* ``<collision>`` geometry: ``box``, ``sphere``, ``mesh`` (Wavefront obj),
+* links with ``<inertial>`` (origin xyz/rpy incl. rotated inertial
+  frames, mass, full inertia tensor),
+* ``<collision>`` geometry (any number per link): ``box``, ``sphere``,
+  ``cylinder``, ``mesh`` (Wavefront obj),
 * ``drake:proximity_properties/drake:mu_static`` friction,
 * joints: ``continuous``/``revolute`` (treated identically — no limits),
-  ``fixed``; floating base for any link not a child of a joint,
+  ``prismatic``, ``fixed``; floating base for any link not a child of a
+  joint, or a FIXED base when the root link is named ``world``,
 * ``drake:collision_filter_group`` exclusions,
 * ``<transmission>`` marks joints actuated.
 
@@ -128,6 +131,7 @@ def _parse_collision_geometry(
 
         box = geometry.find("box")
         sphere = geometry.find("sphere")
+        cylinder = geometry.find("cylinder")
         mesh = geometry.find("mesh")
         if box is not None:
             size = np.array([float(s) for s in box.get("size").split()])
@@ -138,6 +142,12 @@ def _parse_collision_geometry(
             specs.append(CollisionGeometrySpec(
                 geom_type="sphere", n_query=1,
                 radius_init=float(sphere.get("radius")), **common))
+        elif cylinder is not None:
+            specs.append(CollisionGeometrySpec(
+                geom_type="cylinder", n_query=4,
+                radius_init=float(cylinder.get("radius")),
+                half_length_init=float(cylinder.get("length")) / 2.0,
+                **common))
         elif mesh is not None:
             filename = mesh.get("filename")
             mesh_path = filename if os.path.isabs(filename) else \

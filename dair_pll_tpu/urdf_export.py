@@ -79,6 +79,14 @@ def _fill_collision_geometry(link: ET.Element, spec, geom_params,
         sphere = ET.SubElement(geometry, "sphere")
         sphere.set("radius",
                    str(float(np.abs(np.asarray(geom_params["radius"])))))
+    elif spec.geom_type == "cylinder":
+        cylinder = ET.SubElement(geometry, "cylinder")
+        cylinder.set("radius",
+                     str(float(np.abs(np.asarray(
+                         geom_params["radius"])))))
+        cylinder.set("length",
+                     str(2.0 * float(np.abs(np.asarray(
+                         geom_params["half_length"])))))
     elif spec.geom_type in ("polygon", "deep_support_convex"):
         from dair_pll_tpu.mesh_extraction import (
             extract_mesh, mesh_to_obj)

@@ -50,9 +50,13 @@ BATCH_SIZE = 256
 @click.option("--run-name", default=None)
 @click.option("--epochs", default=EPOCHS)
 @click.option("--n-pop", default=N_POP)
+@click.option("--eval-period", default=1,
+              help="epochs between full trajectory evaluations")
+@click.option("--eval-samples", default=5,
+              help="trajectories sampled per full evaluation")
 @click.option("--wandb/--no-wandb", "use_wandb", default=False)
 def main(system, source, contactnets, box, real_data_dir, storage,
-         run_name, epochs, n_pop, use_wandb):
+         run_name, epochs, n_pop, eval_period, eval_samples, use_wandb):
     """Runs the ContactNets sys-id experiment end to end."""
     import jax
     import jax.numpy as jnp
@@ -125,6 +129,8 @@ def main(system, source, contactnets, box, real_data_dir, storage,
         optimizer_config=OptimizerConfig(
             lr=Float(LEARNING_RATE), wd=Float(0.0), patience=PATIENCE,
             epochs=epochs, batch_size=Int(BATCH_SIZE)),
+        full_evaluation_period=eval_period,
+        full_evaluation_samples=eval_samples,
         storage=storage, run_name=run_name, run_wandb=use_wandb,
     )
 

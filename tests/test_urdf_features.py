@@ -259,3 +259,80 @@ def test_prismatic_in_fused_path(tmp_path):
                                           use_fused=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_cylinder_geometry(tmp_path):
+    """Cylinder support function/witnesses (the shape the reference only
+    documents as a support-function example, geometry.py:100-118):
+    parse, simulate a side drop to rest at height == radius, and export
+    round-trip."""
+    import dair_pll_tpu.geometry as geo
+    from dair_pll_tpu.multibody.learnable_system import (
+        MultibodyLearnableSystem)
+
+    urdf = _write(tmp_path, "cyl.urdf", """\
+    <robot name="cyl">
+      <link name="body">
+        <inertial>
+          <origin xyz="0 0 0" rpy="0 0 0"/>
+          <mass value="0.4"/>
+          <inertia ixx="0.0008" iyy="0.0008" izz="0.0005"
+                   ixy="0" ixz="0" iyz="0"/>
+        </inertial>
+        <collision>
+          <geometry><cylinder radius="0.04" length="0.12"/></geometry>
+        </collision>
+      </link>
+    </robot>
+    """)
+    model = build_multibody_model({"cyl": urdf})
+    spec = model.geometries[1]
+    assert spec.geom_type == "cylinder"
+    params = model.initial_params(jnp.float64)
+    gp = params.geometry[1]
+
+    # Support values: radial, axial, diagonal.
+    h = geo.support_function
+    np.testing.assert_allclose(
+        float(h(spec, gp, jnp.asarray([1.0, 0, 0]))), 0.04, rtol=1e-12)
+    np.testing.assert_allclose(
+        float(h(spec, gp, jnp.asarray([0.0, 0, 1.0]))), 0.06, rtol=1e-12)
+    d = jnp.asarray([0.6, 0.0, 0.8])
+    np.testing.assert_allclose(
+        float(h(spec, gp, d)), 0.04 * 0.6 + 0.06 * 0.8, rtol=1e-12)
+
+    # Side drop: cylinder with horizontal axis comes to rest at
+    # height == radius.
+    system = MultibodyLearnableSystem(model, 0.002)
+    quat_y90 = jnp.asarray(
+        [np.cos(np.pi / 4), 0.0, np.sin(np.pi / 4), 0.0])
+    x0 = jnp.concatenate((quat_y90, jnp.asarray([0.0, 0.0, 0.08]),
+                          jnp.zeros(6)))
+    traj = system.simulate(params, x0, 400)
+    final_height = float(traj[-1, 6])
+    np.testing.assert_allclose(final_height, 0.04, atol=2e-3)
+    # Settled: height stable, no vertical motion. (A horizontal cylinder
+    # may keep ROLLING — rolling without slipping is dissipation-free —
+    # so only require translational speed consistent with slow rolling.)
+    heights = np.asarray(traj[-50:, 6])
+    assert heights.std() < 1e-4
+    assert abs(float(traj[-1, 12])) < 1e-3      # vertical velocity
+    assert float(jnp.linalg.norm(traj[-1, 10:12])) < 0.05
+
+    # Export round trip with perturbed learned values.
+    from dair_pll_tpu.urdf_export import represent_multibody_terms_as_urdfs
+    geometry = list(params.geometry)
+    geometry[1] = {"radius": gp["radius"] * 1.25,
+                   "half_length": gp["half_length"] * 0.5}
+    params.geometry = tuple(geometry)
+    out_dir = str(tmp_path / "export")
+    urdfs = represent_multibody_terms_as_urdfs(model, params, out_dir)
+    exported = os.path.join(out_dir, "cyl.urdf")
+    with open(exported, "w", encoding="utf-8") as handle:
+        handle.write(urdfs["cyl"])
+    reparsed = build_multibody_model({"cyl": exported})
+    new_spec = reparsed.geometries[1]
+    assert new_spec.geom_type == "cylinder"
+    np.testing.assert_allclose(new_spec.radius_init, 0.05, rtol=1e-6)
+    np.testing.assert_allclose(new_spec.half_length_init, 0.03,
+                               rtol=1e-6)

@@ -72,3 +72,35 @@ def test_visualize_trajectory_contract():
     # target (red-ish) and prediction (blue-ish) both rendered: frame has
     # colored pixels beyond the background
     assert video.std() > 1.0
+
+
+def test_interactive_html_export(tmp_path):
+    """Interactive three.js rollout export (ROADMAP item 8): one
+    self-contained HTML with embedded pose/geometry JSON."""
+    import json
+    import re
+
+    from dair_pll_tpu.assets import get_asset
+    from dair_pll_tpu.interactive_vis import export_interactive_html
+    from dair_pll_tpu.multibody.learnable_system import (
+        MultibodyLearnableSystem)
+
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, 0.0068)
+    params = model.initial_params(jnp.float64)
+    x0 = jnp.array([1.0, 0, 0, 0, 0, 0, 0.1,
+                    1.0, 0.5, 0.2, 0.3, -0.2, 0.0], jnp.float64)
+    traj = np.asarray(system.simulate(params, x0, 10))
+
+    path = export_interactive_html(
+        model, params, traj, traj + 0.0, 0.0068,
+        str(tmp_path / "rollout.html"), title="cube test")
+    with open(path, "r", encoding="utf-8") as handle:
+        html = handle.read()
+    assert "three" in html and "cube test" in html
+    blob = re.search(r"const DATA = (\{.*?\});\n", html, re.S).group(1)
+    data = json.loads(blob)
+    assert len(data["prediction"]) == traj.shape[0]
+    assert len(data["prediction"][0]) == model.n_bodies
+    assert len(data["prediction"][0][0]) == 7
+    assert data["bodies"][0]["geometries"][0]["type"] == "box"
