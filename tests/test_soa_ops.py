@@ -1,0 +1,128 @@
+"""Unit parity tests for the batch-minor SoA primitive layers
+(``ops/soa.py``, ``ops/soa_cones.py``) against the per-sample reference
+implementations (``ops/linear.py``, ``ops/cones.py``)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dair_pll_tpu.ops import cones, soa, soa_cones
+from dair_pll_tpu.ops.linear import cho_solve_unrolled, cholesky_unrolled
+
+
+def _rand_spd(key, n, B):
+    A = jax.random.normal(key, (B, n, n), jnp.float64)
+    return A @ jnp.swapaxes(A, 1, 2) + 3.0 * jnp.eye(n)
+
+
+def _to_smat(M):
+    return [[M[:, i, j] for j in range(M.shape[2])]
+            for i in range(M.shape[1])]
+
+
+def test_soa_cholesky_and_solve():
+    key = jax.random.PRNGKey(0)
+    B, n = 64, 6
+    M = _rand_spd(key, n, B)
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (B, n), jnp.float64)
+
+    L_ref = cholesky_unrolled(M)
+    x_ref = cho_solve_unrolled(L_ref, rhs)
+
+    L = soa.cholesky(_to_smat(M))
+    x = soa.cho_solve(L, [rhs[:, i] for i in range(n)])
+    np.testing.assert_allclose(np.stack([np.asarray(c) for c in x], 1),
+                               np.asarray(x_ref), rtol=1e-12, atol=1e-12)
+
+
+def test_soa_sort_with_payload_matches_argsort():
+    key = jax.random.PRNGKey(2)
+    B, n = 128, 8
+    vals = jax.random.normal(key, (n, B), jnp.float64)
+    payload = vals * 2.0 + 1.0
+
+    keys_sorted, (payload_sorted,) = soa.sort_with_payload(
+        [vals[i] for i in range(n)], [[payload[i] for i in range(n)]],
+        descending=True)
+    ref_order = np.argsort(-np.asarray(vals), axis=0)
+    ref_keys = np.take_along_axis(np.asarray(vals), ref_order, axis=0)
+    ref_payload = np.take_along_axis(np.asarray(payload), ref_order,
+                                     axis=0)
+    np.testing.assert_allclose(np.stack(keys_sorted), ref_keys)
+    np.testing.assert_allclose(np.stack(payload_sorted), ref_payload)
+
+
+def _rand_cones(key, k, B, interior=False):
+    u = jax.random.normal(key, (B, k, 3), jnp.float64)
+    if interior:
+        u = u.at[..., 0].set(
+            jnp.abs(u[..., 0]) + jnp.linalg.norm(u[..., 1:], axis=-1))
+    return u
+
+
+def _field(u):
+    """(B, k, 3) -> cone field [n, t1, t2] of (k, B)."""
+    return [u[..., i].T for i in range(3)]
+
+
+def test_soa_cone_primitives_match_reference():
+    key = jax.random.PRNGKey(3)
+    B, k = 64, 4
+    z = _rand_cones(key, k, B)
+    v = _rand_cones(jax.random.PRNGKey(4), k, B)
+
+    # project
+    ref = jax.vmap(cones.project)(z)
+    got = soa_cones.project(_field(z))
+    np.testing.assert_allclose(
+        np.stack([np.asarray(g).T for g in got], -1), np.asarray(ref),
+        rtol=1e-14, atol=1e-14)
+
+    # projection jacobian action
+    ref = jax.vmap(cones.projection_jacobian_apply)(z, v)
+    got = soa_cones.projection_jacobian_apply(_field(z), _field(v))
+    np.testing.assert_allclose(
+        np.stack([np.asarray(g).T for g in got], -1), np.asarray(ref),
+        rtol=1e-13, atol=1e-13)
+
+    # jordan product + arrow solve (interior points for invertibility)
+    x = _rand_cones(jax.random.PRNGKey(5), k, B, interior=True)
+    ref = jax.vmap(cones.jordan_product)(x, v)
+    got = soa_cones.jordan_product(_field(x), _field(v))
+    np.testing.assert_allclose(
+        np.stack([np.asarray(g).T for g in got], -1), np.asarray(ref),
+        rtol=1e-13, atol=1e-13)
+    ref = jax.vmap(cones.arrow_solve)(x, v)
+    got = soa_cones.arrow_solve(_field(x), _field(v))
+    np.testing.assert_allclose(
+        np.stack([np.asarray(g).T for g in got], -1), np.asarray(ref),
+        rtol=1e-11, atol=1e-11)
+
+
+def test_soa_nt_scaling_and_step_to_boundary():
+    key = jax.random.PRNGKey(6)
+    B, k = 48, 4
+    x = _rand_cones(key, k, B, interior=True)
+    z = _rand_cones(jax.random.PRNGKey(7), k, B, interior=True)
+    du = _rand_cones(jax.random.PRNGKey(8), k, B)
+
+    scaling_ref, lam_ref = jax.vmap(cones.nt_scaling)(x, z)
+    scaling, lam = soa_cones.nt_scaling(_field(x), _field(z))
+    np.testing.assert_allclose(
+        np.stack([np.asarray(g).T for g in lam], -1),
+        np.asarray(lam_ref), rtol=1e-11, atol=1e-11)
+
+    # W u matches
+    u = _rand_cones(jax.random.PRNGKey(9), k, B)
+    wu_ref = jax.vmap(lambda s_v, s_eta, uu: cones.NTScaling(
+        s_v, s_eta).apply(uu))(scaling_ref.v, scaling_ref.eta, u)
+    wu = scaling.apply(_field(u))
+    np.testing.assert_allclose(
+        np.stack([np.asarray(g).T for g in wu], -1), np.asarray(wu_ref),
+        rtol=1e-11, atol=1e-11)
+
+    # step to boundary
+    ref = jax.vmap(cones.step_to_boundary)(x, du)
+    from dair_pll_tpu.ops.soa_solver import _step_to_boundary
+    got = _step_to_boundary(_field(x), _field(du))
+    np.testing.assert_allclose(np.asarray(got).reshape(-1),
+                               np.asarray(ref), rtol=1e-12, atol=1e-12)
