@@ -17,7 +17,8 @@ ordinary autodiff.
 
 Supported models (``supports_fused``): kinematic trees of free /
 revolute / prismatic / fixed joints whose collision pairs are all
-plane-vs-(box | polygon | sphere). Everything else falls back to the vmapped reference path in
+plane-vs-convex (box | polygon | sphere | deep-support ICNN; ICNN
+witness networks evaluate batch-major on the MXU). Everything else falls back to the vmapped reference path in
 ``multibody/learnable_system.py``.
 """
 from __future__ import annotations
@@ -38,7 +39,8 @@ from dair_pll_tpu.ops.soa import Smat, Svec
 GRAVITY_ACCELERATION = 9.81
 
 _FUSED_JOINTS = ("free", "revolute", "prismatic", "fixed", "weld")
-_FUSED_CONVEX = ("box", "polygon", "sphere")
+_FUSED_CONVEX = ("box", "polygon", "sphere",
+                 "deep_support_convex")
 
 
 def supports_fused(model: MultibodyModel) -> bool:
@@ -279,10 +281,26 @@ def _soa_support_points(spec, params, direction: Svec) -> List[Svec]:
     """Witness points for one support direction (cf.
     ``geometry.support_points``): top-``n_query`` vertices by support
     value via a compare-exchange network carrying the vertex coordinates
-    (the SoA analogue of ``lax.top_k`` + gather)."""
+    (the SoA analogue of ``lax.top_k`` + gather). Deep-support (ICNN)
+    witnesses are evaluated batch-MAJOR — the width-256 network layers
+    are genuinely large matmuls that belong on the MXU — and transposed
+    back into SoA form at the boundary."""
     if spec.geom_type == "sphere":
         radius = jnp.abs(params["radius"])
         return [[direction[i] * radius for i in range(3)]]
+    if spec.geom_type == "deep_support_convex":
+        from dair_pll_tpu.ops import icnn
+        d_major = jnp.stack(
+            [jnp.broadcast_to(c, direction[0].shape) for c in direction],
+            axis=-1)                                        # (B, 3)
+        perturbed = d_major[:, None, :] + params["perturbations"][None]
+        perturbed = perturbed / jnp.linalg.norm(
+            perturbed, axis=-1, keepdims=True)              # (B, n_q, 3)
+        points = jax.vmap(jax.vmap(
+            lambda d: icnn.icnn_support_point(
+                params["icnn"], d, spec.icnn_negative_slope)))(perturbed)
+        return [[points[:, c, i] for i in range(3)]
+                for c in range(spec.n_query)]
     vertices = _soa_vertices(spec, params)
     dots = [soa.dot(vert, direction) for vert in vertices]
     payloads = [[vert[i] for vert in vertices] for i in range(3)]
