@@ -137,24 +137,52 @@ class MuJoCoUKFSystem(MuJoCoSystem):
     Mirrors reference ``MuJoCoUKFSystem`` (``mujoco_system.py:122-463``):
     the propagation model is the MuJoCo step perturbed on the state-space
     Lie algebra; measurements are log-coordinates of the state.
+
+    With ``bias=True`` the filter state augments the (sensed) state with
+    an estimated static configuration bias (reference BIAS mode,
+    ``mujoco_system.py:117-119, 252-372`` with ``BIAS_VEL=False,
+    SENSE_BIAS=True``): physics propagates the de-biased state, the bias
+    itself is a random constant, and the measurement observes both the
+    sensed state's log coordinates and a zero pseudo-measurement of the
+    bias.
     """
 
     def __init__(self, mjcf: str, dt: float, stiffness: float,
                  damping_ratio: float, v200: bool = False,
                  P0: Optional[np.ndarray] = None,
-                 R: Optional[np.ndarray] = None) -> None:
+                 R: Optional[np.ndarray] = None,
+                 bias: bool = False) -> None:
         super().__init__(mjcf, dt, stiffness, damping_ratio, v200)
-        n_v2 = 2 * self.space.n_v
-        self.P0 = np.eye(n_v2) if P0 is None else np.asarray(P0)
-        self.R = (np.eye(n_v2) * 1e-2 if R is None else np.asarray(R))
+        self.bias = bias
+        n_tan = (3 if bias else 2) * self.space.n_v
+        self.P0 = np.eye(n_tan) if P0 is None else np.asarray(P0)
+        self.R = (np.eye(n_tan) * 1e-2 if R is None else np.asarray(R))
 
     @staticmethod
     def noise_stds_to_P0_R_stds(static_stds: np.ndarray,
-                                dynamic_std: np.ndarray,
-                                dt: float) -> Tuple[np.ndarray, np.ndarray]:
+                                dynamic_std: np.ndarray, dt: float,
+                                bias: bool = False
+                                ) -> Tuple[np.ndarray, np.ndarray]:
         """Maps data-noise standard deviations to UKF P0/R diagonals
-        (reference ``mujoco_system.py:150-160``, bias-free branch)."""
+        (reference ``mujoco_system.py:126-160``).
+
+        Bias-free branch (:150-160): configuration noise is the composite
+        of static and dynamic stds; velocity noise is the finite-difference
+        amplification of the dynamic std. Bias branch (:129-148): the
+        dynamic std alone drives the state block (the static component is
+        explained by the estimated bias), whose prior/pseudo-measurement
+        std is the static std.
+        """
         nv = static_stds.size // 2
+        if bias:
+            composite = dynamic_std[:nv]
+            state0 = np.concatenate(
+                (composite, dynamic_std[:nv] * np.sqrt(2.0 / dt)))
+            bias0 = static_stds + 1e-8
+            P0_diag = np.concatenate((state0, bias0[:nv]))
+            R_diag = P0_diag.copy() if SENSE_VELOCITY \
+                else composite.copy()
+            return P0_diag, R_diag
         config_noise = np.sqrt(static_stds**2 + dynamic_std**2)[:nv]
         P0_diag = np.concatenate(
             (config_noise, dynamic_std[:nv] * np.sqrt(2.0 / dt)))
@@ -190,17 +218,90 @@ class MuJoCoUKFSystem(MuJoCoSystem):
             Q=1e-10 * np.eye(n_v2), R=self.R,
             alpha=(0.1, 0.1, 0.1), d=n_v2)
 
+    def _build_bias_ukf(self) -> ManifoldUKF:
+        """Bias-augmented filter: state ``[x (n_x), b (n_v)]``, tangent
+        ``[dx (2 n_v), db (n_v)]`` (reference ``ukf_bias_estimate``,
+        ``mujoco_system.py:252-372``)."""
+        import jax.numpy as jnp
+        space = self.space
+        nv = space.n_v
+        n_x = space.n_x
+        zero = np.asarray(space.zero_state(jnp.float64))
+
+        def phi(state, delta):
+            x, b = state[:n_x], state[n_x:]
+            dx, db = delta[:2 * nv], delta[2 * nv:]
+            shifted = np.asarray(space.shift_state(
+                jnp.asarray(x), jnp.asarray(dx)))
+            return np.concatenate((shifted, b + db))
+
+        def phi_inv(s1, s2):
+            dx = np.asarray(space.state_difference(
+                jnp.asarray(s1[:n_x]), jnp.asarray(s2[:n_x])))
+            return np.concatenate((dx, s2[n_x:] - s1[n_x:]))
+
+        def f(state, omega, w, dt):
+            del omega, dt
+            state = phi(state, w)
+            x, b = state[:n_x], state[n_x:]
+            # De-bias the sensed configuration, step real physics,
+            # re-bias; the bias itself is a random constant.
+            shift = np.concatenate((b, np.zeros_like(b)))
+            real = np.asarray(space.shift_state(
+                jnp.asarray(x), jnp.asarray(shift)))
+            real_next = self.step_state(real)
+            sensed_next = np.asarray(space.shift_state(
+                jnp.asarray(real_next), jnp.asarray(-shift)))
+            return np.concatenate((sensed_next, b))
+
+        def h(state):
+            x, b = state[:n_x], state[n_x:]
+            ds = np.asarray(space.state_difference(
+                jnp.asarray(zero), jnp.asarray(x)))
+            return np.concatenate((ds, b))
+
+        d = 3 * nv
+        return ManifoldUKF(
+            f=f, h=h, phi=phi, phi_inv=phi_inv,
+            Q=1e-8 * np.eye(d), R=self.R,
+            alpha=(0.1, 0.1, 0.1), d=d)
+
     def preprocess_initial_condition(self, params: Any, x_history,
                                      carry: Any) -> Tuple[np.ndarray, Any]:
         """UKF-smooths the (noisy) initial-condition history into the
         starting state — the defining behavior of the UKF oracle
-        (reference ``mujoco_system.py:178-249``). A length-1 history
-        reduces to the raw state."""
+        (reference ``mujoco_system.py:178-249``; bias mode :252-372,
+        routed like :458-462). A length-1 history reduces to the raw
+        state."""
         del params
         x_history = np.asarray(x_history, np.float64)
         if x_history.shape[0] > 1:
-            return self.ukf_estimate(x_history), carry
+            estimate = self.ukf_bias_estimate(x_history) if self.bias \
+                else self.ukf_estimate(x_history)
+            return estimate, carry
         return x_history[-1], carry
+
+    def ukf_bias_estimate(self, x_sequence: np.ndarray) -> np.ndarray:
+        """Filters a noisy state sequence with the bias-augmented UKF and
+        returns the final de-biased state (reference
+        ``mujoco_system.py:252-372``): the smoothed sensed state shifted
+        by the estimated configuration bias."""
+        import jax.numpy as jnp
+        space = self.space
+        nv = space.n_v
+        n_x = space.n_x
+        ukf = self._build_bias_ukf()
+        x_sequence = np.asarray(x_sequence, np.float64)
+        state = np.concatenate((x_sequence[0], np.zeros(nv)))
+        P = self.P0.copy()
+        for x_i in x_sequence[1:]:
+            measured = np.concatenate((x_i, np.zeros(nv)))
+            state, P = _host_propagate_update(ukf, state, P, measured,
+                                              self.integrator.dt)
+        x, b = state[:n_x], state[n_x:]
+        shift = np.concatenate((b, np.zeros_like(b)))
+        return np.asarray(space.shift_state(
+            jnp.asarray(x), jnp.asarray(shift)))
 
     def ukf_estimate(self, x_sequence: np.ndarray) -> np.ndarray:
         """Filters a noisy state sequence, returning the final smoothed

@@ -43,6 +43,10 @@ class MuJoCoExperimentConfig(SupervisedLearningExperimentConfig):
           UKF oracle's P0/R (reference ``mujoco_experiment.py:38-41``).
         noise_kind: ``"gaussian"`` or ``"uniform"`` noiser for the
           covariance mapping.
+        ukf_bias: use the bias-augmented UKF oracle (estimates a static
+          configuration bias alongside the state; reference
+          ``mujoco_system.py:252-372`` BIAS mode) — the second oracle
+          axis of the reference's cross-validation studies.
     """
     xml: str = ""
     stiffness: float = 100.0
@@ -51,6 +55,7 @@ class MuJoCoExperimentConfig(SupervisedLearningExperimentConfig):
     static_noise: Tuple[float, ...] = ()
     dynamic_noise: Tuple[float, ...] = ()
     noise_kind: str = "gaussian"
+    ukf_bias: bool = False
 
 
 def build_mujoco_base_system(config: MuJoCoExperimentConfig
@@ -70,26 +75,30 @@ def build_mujoco_oracle_system(config: MuJoCoExperimentConfig
     noise (reference ``mujoco_experiment.py:35-44``)."""
     base_system, _ = build_mujoco_base_system(config)
     space = base_system.space
+    n_tan = (3 if config.ukf_bias else 2) * space.n_v
     P0 = R = None
     if len(config.static_noise):
-        import jax.numpy as jnp
         static = np.asarray(config.static_noise, np.float64)
         dynamic = np.asarray(config.dynamic_noise, np.float64)
         P0_diag, R_diag = MuJoCoUKFSystem.noise_stds_to_P0_R_stds(
-            static, dynamic, config.data_config.dt)
-        noiser = WhiteNoiser(space, config.noise_kind)
-        full = np.zeros(2 * space.n_v)
+            static, dynamic, config.data_config.dt, bias=config.ukf_bias)
+        # Per-coordinate variances under the configured noise kind
+        # (WhiteNoiser.covariance semantics, extended to the bias block).
+        factor = WhiteNoiser(space, config.noise_kind).variance_factor
+        full = np.zeros(n_tan)
         full[:P0_diag.size] = P0_diag
-        P0 = np.asarray(noiser.covariance(jnp.asarray(full)))
+        P0 = np.diag(factor * full * full)
+        full[:] = 0.0
         full[:R_diag.size] = R_diag
-        R = np.asarray(noiser.covariance(jnp.asarray(full)))
+        R = np.diag(factor * full * full)
         # Keep the filter well-posed where the data is noiseless.
-        eps = 1e-9 * np.eye(2 * space.n_v)
+        eps = 1e-9 * np.eye(n_tan)
         P0 = P0 + eps
         R = R + eps
     system = MuJoCoUKFSystem(config.xml, config.data_config.dt,
                              config.stiffness, config.damping_ratio,
-                             config.v200, P0=P0, R=R)
+                             config.v200, P0=P0, R=R,
+                             bias=config.ukf_bias)
     return system, None
 
 
