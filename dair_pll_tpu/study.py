@@ -24,8 +24,9 @@ from typing import Any, Callable, Dict, List
 
 import numpy as np
 
-from dair_pll_tpu.hyperparameter import (generate_suggestion,
-                                         load_suggestion)
+from dair_pll_tpu.hyperparameter import (
+    generate_quasirandom_suggestions, generate_suggestion,
+    load_suggestion)
 from dair_pll_tpu.training.config import SupervisedLearningExperimentConfig
 from dair_pll_tpu.utils import file_utils
 
@@ -46,6 +47,9 @@ class StudyConfig:
         min_epochs: epoch budget of the first rung.
         reduction_factor: successive-halving reduction per rung (eta).
         seed: sampling seed.
+        sampler: ``"sobol"`` (default — scrambled low-discrepancy
+          sequence, better space coverage at equal trial budgets) or
+          ``"random"`` (i.i.d. draws, the round-1 behavior).
         coordination_dir: optional shared directory for cross-process
           trial dispatch (``parallel.multiprocess.FileTrialCoordinator``
           — the analogue of the reference's shared-optuna-RDB parallel
@@ -60,6 +64,7 @@ class StudyConfig:
     min_epochs: int = 2
     reduction_factor: int = 2
     seed: int = 0
+    sampler: str = "sobol"
     coordination_dir: str = ""
 
 
@@ -101,9 +106,16 @@ class Study:
         rng = np.random.default_rng(study_config.seed)
 
         trials: List[Trial] = []
-        for index in range(study_config.n_trials):
-            config = copy.deepcopy(study_config.base_config)
-            suggestion = generate_suggestion(config, rng)
+        if study_config.sampler == "sobol":
+            suggestions = generate_quasirandom_suggestions(
+                study_config.base_config, study_config.n_trials,
+                study_config.seed)
+        else:
+            suggestions = []
+            for _ in range(study_config.n_trials):
+                config = copy.deepcopy(study_config.base_config)
+                suggestions.append(generate_suggestion(config, rng))
+        for index, suggestion in enumerate(suggestions):
             trials.append(Trial(index=index, suggestion=suggestion))
 
         coordinator = None

@@ -65,3 +65,31 @@ def test_datasweep(tmp_path):
     assert set(results) == {4, 16}
     assert len(results[4]) == 2
     assert "test_model_trajectory_mse_mean" in results[4][0]
+
+
+def test_quasirandom_suggestions_deterministic_and_spread():
+    """Sobol suggestions: deterministic in seed, within distribution
+    bounds, and better-spread than the worst i.i.d. case (every dim's
+    n-point projection is stratified)."""
+    from dair_pll_tpu.hyperparameter import (
+        Categorical, Float, Int, generate_quasirandom_suggestions)
+    from dair_pll_tpu.training.config import OptimizerConfig
+
+    config = OptimizerConfig(lr=Float(1e-3), wd=Float(1e-5),
+                             batch_size=Int(32))
+    a = generate_quasirandom_suggestions(config, 16, seed=5)
+    b = generate_quasirandom_suggestions(config, 16, seed=5)
+    assert a == b
+    c = generate_quasirandom_suggestions(config, 16, seed=6)
+    assert a != c
+    for suggestion in a:
+        assert 1e-5 <= suggestion["lr"] <= 1e-1
+        assert suggestion["batch_size"] >= 1
+    # log-space spread: 16 Sobol points cover at least half the range's
+    # octaves (i.i.d. can collapse; Sobol cannot)
+    lrs = np.log10([s["lr"] for s in a])
+    assert lrs.max() - lrs.min() > 2.0
+
+    cat = Categorical("a", ["a", "b", "c"])
+    assert cat.from_unit(0.0) == "a"
+    assert cat.from_unit(0.999) == "c"
