@@ -53,6 +53,14 @@ class SupervisedLearningExperimentConfig:
         update_geometry_in_videos: regenerate visualization geometry.
         shard_evaluation: shard trajectory-rollout evaluation over all
           available devices (data-parallel mesh); single-device otherwise.
+        shard_training: run the training epoch scan SPMD over a
+          data-parallel device mesh: each minibatch shards across chips,
+          parameters replicate, and gradients all-reduce over ICI
+          (``pmean``) inside the jitted epoch. Uses the largest device
+          count that divides the batch size. The reference has no
+          counterpart (it serializes batches on one CPU,
+          ``system.py:113-124``); numerically this matches single-device
+          training up to float summation order.
     """
     data_config: DataConfig = dataclasses.field(default_factory=DataConfig)
     base_config: SystemConfig = dataclasses.field(
@@ -69,3 +77,4 @@ class SupervisedLearningExperimentConfig:
     full_evaluation_samples: int = 5
     update_geometry_in_videos: bool = False
     shard_evaluation: bool = False
+    shard_training: bool = False

@@ -135,6 +135,24 @@ class SupervisedLearningExperiment:
         from dair_pll_tpu.parallel.sharding import make_mesh
         return make_mesh()
 
+    def training_mesh(self, batch_size: int):
+        """Data-parallel mesh for the training epoch scan, or ``None``.
+
+        With ``config.shard_training`` the epoch runs SPMD: every
+        minibatch splits across the mesh's ``dp`` axis, parameters
+        replicate, gradients ``pmean`` over ICI. Uses the largest device
+        count that divides ``batch_size`` so per-device batch shapes stay
+        equal and static."""
+        if not self.config.shard_training:
+            return None
+        n_devices = len(jax.devices())
+        while n_devices > 1 and batch_size % n_devices != 0:
+            n_devices -= 1
+        if n_devices <= 1:
+            return None
+        from dair_pll_tpu.parallel.sharding import make_mesh
+        return make_mesh(jax.devices()[:n_devices])
+
     # -- losses ---------------------------------------------------------------
     def prediction_loss(self, system: System, params: Any,
                         x_past: jnp.ndarray,
@@ -240,17 +258,24 @@ class SupervisedLearningExperiment:
     # -- jitted epoch ----------------------------------------------------------
     def _build_train_epoch(self, optimizer, batch_size: int):
         """Compiles an epoch function: scan of shuffled batches, each doing
-        loss + grad + Adam update."""
+        loss + grad + Adam update.
+
+        With ``config.shard_training`` (and >1 device) the same epoch body
+        runs SPMD under ``shard_map``: the batch-index table shards on its
+        batch axis so every device gathers and differentiates only its
+        slice of each minibatch, and gradients/losses ``pmean`` over the
+        ``dp`` axis before the (replicated) Adam update. One jitted call
+        per epoch either way — the multi-chip analog of the reference's
+        serial batch loop (``system.py:113-124``)."""
         loss_fn = self.loss_callback()
+        mesh = self.training_mesh(batch_size)
 
         def batch_mean_loss(params, x_past, x_future):
             return jnp.mean(loss_fn(params, x_past, x_future))
 
         grad_fn = jax.value_and_grad(batch_mean_loss)
 
-        @jax.jit
-        def epoch_fn(params, opt_state, past, future, perm):
-            batches = perm.reshape(-1, batch_size)
+        def epoch_body(params, opt_state, past, future, batches):
             update_mask = self.parameter_update_mask(params)
 
             def step(carry, batch_indices):
@@ -258,6 +283,10 @@ class SupervisedLearningExperiment:
                 x_past = jnp.take(past, batch_indices, axis=0)
                 x_future = jnp.take(future, batch_indices, axis=0)
                 loss, grads = grad_fn(params, x_past, x_future)
+                if mesh is not None:
+                    from dair_pll_tpu.parallel.sharding import DATA_AXIS
+                    grads = jax.lax.pmean(grads, DATA_AXIS)
+                    loss = jax.lax.pmean(loss, DATA_AXIS)
                 if update_mask is not None:
                     grads = jax.tree_util.tree_map(
                         lambda g, m: g * m, grads, update_mask)
@@ -270,13 +299,10 @@ class SupervisedLearningExperiment:
                 step, (params, opt_state), batches)
             return params, opt_state, jnp.mean(losses)
 
-        @jax.jit
-        def eval_epoch_fn(params, past, future, perm, weights):
+        def eval_epoch_body(params, past, future, batches, batch_weights):
             """Exact per-slice average: wraparound-padded duplicates carry
             zero weight so the metric is unbiased (the gradient pass keeps
             the duplicates — only model selection needs exactness)."""
-            batches = perm.reshape(-1, batch_size)
-            batch_weights = weights.reshape(-1, batch_size)
 
             def step(_, scan_in):
                 batch_indices, w = scan_in
@@ -287,9 +313,28 @@ class SupervisedLearningExperiment:
 
             _, (loss_sums, weight_sums) = jax.lax.scan(
                 step, None, (batches, batch_weights))
-            return jnp.sum(loss_sums) / jnp.maximum(jnp.sum(weight_sums),
-                                                    1.0)
+            loss_sum = jnp.sum(loss_sums)
+            weight_sum = jnp.sum(weight_sums)
+            if mesh is not None:
+                from dair_pll_tpu.parallel.sharding import DATA_AXIS
+                loss_sum = jax.lax.psum(loss_sum, DATA_AXIS)
+                weight_sum = jax.lax.psum(weight_sum, DATA_AXIS)
+            return loss_sum / jnp.maximum(weight_sum, 1.0)
 
+        if mesh is None:
+            return jax.jit(epoch_body), jax.jit(eval_epoch_body)
+
+        from dair_pll_tpu.parallel.sharding import (DATA_AXIS, P,
+                                                    shard_map)
+        epoch_fn = jax.jit(shard_map(
+            epoch_body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(None, DATA_AXIS)),
+            out_specs=(P(), P(), P())))
+        eval_epoch_fn = jax.jit(shard_map(
+            eval_epoch_body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(None, DATA_AXIS),
+                      P(None, DATA_AXIS)),
+            out_specs=P()))
         return epoch_fn, eval_epoch_fn
 
     @staticmethod
@@ -345,8 +390,9 @@ class SupervisedLearningExperiment:
         perm, weights = self._epoch_permutation(
             rng, train_set.n_slices, batch_size)
         train_loss = float(eval_epoch_fn(
-            params, train_past, train_future, jnp.asarray(perm),
-            jnp.asarray(weights)))
+            params, train_past, train_future,
+            jnp.asarray(perm).reshape(-1, batch_size),
+            jnp.asarray(weights).reshape(-1, batch_size)))
         if state.epoch == 1:
             valid_loss = self._epoch_training_objective_on_valid(
                 eval_epoch_fn, params, valid_set, valid_past, valid_future,
@@ -376,7 +422,7 @@ class SupervisedLearningExperiment:
                     rng, train_set.n_slices, batch_size)
                 params, opt_state, train_loss_dev = epoch_fn(
                     params, opt_state, train_past, train_future,
-                    jnp.asarray(perm))
+                    jnp.asarray(perm).reshape(-1, batch_size))
                 train_loss = float(train_loss_dev)
                 training_duration = time.time() - start
 
@@ -450,8 +496,9 @@ class SupervisedLearningExperiment:
         perm, weights = self._epoch_permutation(
             rng, valid_set.n_slices, batch_size)
         return float(eval_epoch_fn(
-            params, valid_past, valid_future, jnp.asarray(perm),
-            jnp.asarray(weights)))
+            params, valid_past, valid_future,
+            jnp.asarray(perm).reshape(-1, batch_size),
+            jnp.asarray(weights).reshape(-1, batch_size)))
 
     # -- per-epoch evaluation ---------------------------------------------------
     def per_epoch_evaluation(self, epoch: int, params: Any,
