@@ -52,6 +52,23 @@ _CYLINDER_PERTURBATIONS = np.array([
     [0.0, -0.28, 0.11],
 ])
 
+
+def _cylinder_perturbations(n_query: int) -> np.ndarray:
+    """``(n_query, 3)`` support-direction perturbations for any count.
+
+    Uses the hand-picked table up to its length and extends it
+    procedurally (golden-angle spiral, alternating z) beyond, so a spec
+    with ``n_query > 4`` still returns exactly ``n_query`` witnesses.
+    """
+    if n_query <= len(_CYLINDER_PERTURBATIONS):
+        return _CYLINDER_PERTURBATIONS[:n_query]
+    extra = n_query - len(_CYLINDER_PERTURBATIONS)
+    ii = np.arange(extra)
+    ang = 2.399963229728653 * ii          # golden angle
+    more = np.stack([0.28 * np.cos(ang), 0.28 * np.sin(ang),
+                     0.2 * np.where(ii % 2 == 0, 1.0, -1.0)], axis=-1)
+    return np.concatenate([_CYLINDER_PERTURBATIONS, more], axis=0)
+
 _POLYGON_DEFAULT_N_QUERY = 4
 _DEEP_SUPPORT_DEFAULT_N_QUERY = 4
 _DEEP_SUPPORT_DEFAULT_DEPTH = 2
@@ -243,7 +260,7 @@ def support_points(spec: CollisionGeometrySpec, params,
         # Perturbed directions straddle the (possibly degenerate: disk
         # or line) support set, like the deep-support witnesses.
         perturbed = direction[None, :] + jnp.asarray(
-            _CYLINDER_PERTURBATIONS[:spec.n_query], direction.dtype)
+            _cylinder_perturbations(spec.n_query), direction.dtype)
         perturbed = perturbed / jnp.linalg.norm(
             perturbed, axis=-1, keepdims=True)
         return jax.vmap(

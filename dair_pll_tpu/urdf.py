@@ -258,8 +258,14 @@ def build_multibody_model(urdfs: Dict[str, str],
         n_joints = 0
         for link_name, joint_el in ordered:
             if fixed_base and link_name == "world":
-                # The world link is the fixed frame, not a body.
+                # The world link is the fixed frame, not a body — but
+                # any collision geometry it declares (e.g. a ground
+                # shape) is still real, attached statically (body=-1).
                 body_index_by_name[(model_index, link_name)] = -1
+                geometries.extend(_parse_collision_geometry(
+                    link_by_name[link_name], -1,
+                    f"{model_name}_{link_name}", base_dir,
+                    mesh_representation))
                 continue
             link = link_by_name[link_name]
             body_index = len(bodies)
