@@ -51,10 +51,19 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     the absolute mass/inertia scale is unobservable — the ContactNets loss
     is homogeneous in it, so an unconstrained scale direction collapses
     toward zero over long training (the reference inherits the same
-    degeneracy; we pin it by default)."""
+    degeneracy; we pin it by default).
+
+    ``contactnets_multistep`` extends the ContactNets loss over the full
+    ``t_prediction`` window (ROADMAP item 11, beyond the reference): the
+    implicit loss is summed over the window's transitions with the model's
+    own (rematerialized) rollout supplying each step's preimpact state, so
+    gradients couple across steps through the differentiable contact
+    solves (IFT custom VJP). With ``t_prediction == 1`` it reduces to the
+    standard one-step loss."""
     loss: MultibodyLosses = MultibodyLosses.PREDICTION_LOSS
     mesh_representation: str = "deep_support_convex"
     fix_inertial_scale: bool = True
+    contactnets_multistep: bool = False
 
 
 class MultibodyLearnableExperiment(SupervisedLearningExperiment):
@@ -106,13 +115,28 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
         assert isinstance(system, MultibodyLearnableSystem)
         n_u = system.model.n_u
 
+        multistep = learnable_config.contactnets_multistep
+        import jax
+
+        rollout_step = jax.checkpoint(
+            lambda p, xb: jax.vmap(lambda xi: system.sim_step(p, xi))(xb))
+
         def contactnets_loss(params, x_past, x_future):
             """Slices the transition endpoints like reference
-            ``drake_experiment.py:202-224``."""
+            ``drake_experiment.py:202-224``; with
+            ``contactnets_multistep`` the loss averages over the whole
+            prediction window, each step's preimpact state supplied by
+            the model's own (rematerialized) rollout."""
             x = x_past[..., -1, :]
-            x_plus = x_future[..., 0, :]
             u = jnp.zeros(x.shape[:-1] + (n_u,), x.dtype)
-            return system.contactnets_loss_batch(params, x, u, x_plus)
+            t_window = x_future.shape[-2] if multistep else 1
+            total = system.contactnets_loss_batch(
+                params, x, u, x_future[..., 0, :])
+            for t in range(1, t_window):
+                x = rollout_step(params, x)
+                total = total + system.contactnets_loss_batch(
+                    params, x, u, x_future[..., t, :])
+            return total / t_window
 
         return contactnets_loss
 

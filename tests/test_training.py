@@ -297,3 +297,46 @@ def test_urdf_reexport_roundtrip(cube_training_storage):
     mu_exported = float(np.abs(np.asarray(params2.friction))[1])
     mu_learned = float(np.abs(np.asarray(best_params.friction))[1])
     assert mu_exported == pytest.approx(mu_learned, rel=1e-5)
+
+
+def test_multistep_contactnets_window(cube_training_storage):
+    """Multi-step implicit ContactNets (ROADMAP item 11): the loss over a
+    t_prediction=3 window couples steps through the model's own rollout;
+    it must differ from the one-step loss, have finite parameter
+    gradients through the rollout solves, and train."""
+    from dair_pll_tpu.data.config import TrajectorySliceConfig
+
+    config = make_config(cube_training_storage, "multistep_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=1,
+                         full_evaluation_samples=0)
+    config.data_config.slice_config = TrajectorySliceConfig(
+        t_prediction=3)
+    config.learnable_config.contactnets_multistep = True
+    experiment = MultibodyLearnableExperiment(config)
+    experiment.setup_training()
+
+    # The window loss is a genuine multi-step objective: it differs from
+    # the one-step slice loss on the same data.
+    system = experiment.learned_system
+    params = system.model.initial_params(jnp.float64)
+    train_set, _, _ = experiment.data_manager.get_trajectory_sets()
+    past = jnp.asarray(train_set.slices_past[:8])
+    future = jnp.asarray(train_set.slices_future[:8])
+    multi = experiment.loss_callback()(params, past, future)
+    assert multi.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(multi)))
+    config.learnable_config.contactnets_multistep = False
+    one = experiment.loss_callback()(params, past, future)
+    assert multi.shape == one.shape
+    assert not np.allclose(np.asarray(multi), np.asarray(one))
+
+    # Parameter gradients flow through the rollout-coupled window
+    # (rematerialized contact solves with the IFT custom VJP).
+    config.learnable_config.contactnets_multistep = True
+    grads_multi = jax.grad(lambda p: jnp.mean(
+        experiment.loss_callback()(p, past, future)))(params)
+    nonzero = 0
+    for leaf in jax.tree_util.tree_leaves(grads_multi):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+        nonzero += int(np.any(np.asarray(leaf) != 0.0))
+    assert nonzero > 0
