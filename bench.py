@@ -60,7 +60,7 @@ def main():
     key = jax.random.PRNGKey(0)
     best = 0.0
     best_batch = 0
-    for batch in (262144, 1048576):
+    for batch in (1048576, 2097152):
         k1, k2, key = jax.random.split(key, 3)
         x = jax.random.normal(k1, (batch, 13), jnp.float32)
         quat = x[:, :4] / jnp.linalg.norm(x[:, :4], axis=-1, keepdims=True)
@@ -91,6 +91,9 @@ def main():
         if throughput > best:
             best = throughput
             best_batch = batch
+            best_args = (p, s, x, x_plus)
+
+    detail = _profile_detail(jax, step, best_args, best_batch, best)
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
@@ -108,12 +111,98 @@ def main():
             baseline = json.load(handle)
         vs_baseline = best / baseline["transitions_per_sec"]
 
+    if detail is not None:
+        detail["vs_baseline"] = round(vs_baseline, 2) if vs_baseline \
+            else None
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_detail.json")
+        with open(detail_path, "w", encoding="utf-8") as handle:
+            json.dump(detail, handle, indent=1)
+
     print(json.dumps({
         "metric": "cube-toss contactnets train contact steps/sec/chip",
         "value": round(best, 1),
         "unit": f"transitions/sec (batch {best_batch})",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
+
+
+def _profile_detail(jax, step, args, batch, throughput):
+    """Device-profile accounting (VERDICT round-2 item 10): per-category
+    device-time split (pallas kernels vs XLA fusions vs infeed/other),
+    bytes/transition at the HBM roofline, written to
+    ``bench_detail.json`` so the next perf round starts from measured
+    bottlenecks. Trace failures are non-fatal (``BENCH_PROFILE=0``
+    skips)."""
+    if os.environ.get("BENCH_PROFILE", "1") != "1":
+        return None
+    import glob
+    import gzip
+    try:
+        p, s, x, x_plus = args
+        trace_dir = "/tmp/bench_trace"
+        os.system(f"rm -rf {trace_dir}")
+        n_steps = 3
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                p, s, loss = step(p, s, x, x_plus)
+            float(loss)
+        paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                          recursive=True)
+        if not paths:
+            return None
+        with gzip.open(sorted(paths)[-1], "rt") as handle:
+            trace = json.load(handle)
+        # Keep device-lane complete events only (XLA ops pid).
+        # Host-side python/profiler frames are named like "$file.py:..."
+        # or wrap the whole program; keep per-op device events only.
+        def is_host(name):
+            return ("$" in name or ".py" in name or
+                    name.startswith(("np.", "Pjit", "jit_", "PJRT",
+                                     "Python", "ParseArguments")) or
+                    name in ("0", "1", "2", "3"))
+
+        cats = {"pallas": 0.0, "fusion": 0.0, "other": 0.0}
+        top = {}
+        for e in trace.get("traceEvents", []):
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            name = e.get("name", "")
+            if is_host(name):
+                continue
+            ms = e["dur"] / 1e3 / n_steps
+            # Pallas kernels surface as custom-call ops named after the
+            # enclosing jaxpr scope (the fwd kernel traces as "jvp__",
+            # its custom-VJP backward as "transpose_jvp___").
+            if ("jvp" in name or "custom-call" in name or
+                    "kernel" in name.lower() or
+                    "tpu_custom_call" in name):
+                cats["pallas"] += ms
+            elif "fusion" in name:
+                cats["fusion"] += ms
+            else:
+                cats["other"] += ms
+            top[name] = top.get(name, 0.0) + ms
+        step_ms = 1e3 * batch / throughput
+        # HBM-traffic floor: read x + x_plus, write them back for Adam-
+        # donated buffers is O(param) not O(batch); floor = 2 * n_x * 4B.
+        bytes_floor = 2 * 13 * 4
+        hbm_peak = 819e9  # v5e HBM GB/s
+        return {
+            "batch": batch,
+            "median_step_ms": round(step_ms, 2),
+            "transitions_per_sec": round(throughput, 1),
+            "device_ms_per_step": {k: round(v, 2)
+                                   for k, v in cats.items()},
+            "top_ops_ms_per_step": dict(sorted(
+                top.items(), key=lambda kv: -kv[1])[:12]),
+            "bytes_floor_per_transition": bytes_floor,
+            "roofline_floor_ms": round(
+                batch * bytes_floor / hbm_peak * 1e3, 2),
+        }
+    except Exception as error:  # pragma: no cover - diagnostics only
+        return {"error": str(error)}
 
 
 if __name__ == "__main__":

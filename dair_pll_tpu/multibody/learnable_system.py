@@ -411,7 +411,21 @@ class MultibodyLearnableSystem(System):
                          n_batch >= FUSED_LOSS_MIN_BATCH and
                          self.supports_fused_loss())
         if use_fused:
-            from dair_pll_tpu.multibody.soa_terms import soa_contactnets_loss
+            from dair_pll_tpu.multibody.soa_terms import (
+                soa_contactnets_loss, supports_fused_kernel)
+            # On TPU, scalar-parameter models run the whole forward
+            # (terms + solve + loss) and its backward (in-kernel grad
+            # w.r.t. the derived scalars AND the states) as single
+            # VMEM-resident Pallas kernels (ROADMAP 0b).
+            if (jax.default_backend() not in ("cpu",) and
+                    supports_fused_kernel(self.model)):
+                from dair_pll_tpu.ops.soa_loss_pallas import (
+                    fused_contactnets_loss_kernel)
+                losses = fused_contactnets_loss_kernel(
+                    self.model, params, flat_x, flat_u, flat_xp,
+                    self.dt, LOSS_EPSILON, self.ipm_iterations,
+                    self.newton_iterations)
+                return losses.reshape(batch_shape)
             losses = soa_contactnets_loss(
                 self.model, params, flat_x, flat_u, flat_xp, self.dt,
                 LOSS_EPSILON, self.ipm_iterations, self.newton_iterations)

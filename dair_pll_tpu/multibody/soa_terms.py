@@ -33,7 +33,7 @@ from jax import Array
 from dair_pll_tpu import inertia as inertia_mod
 from dair_pll_tpu.geometry import _UNIT_BOX_VERTICES
 from dair_pll_tpu.multibody.model import MultibodyModel, MultibodyParams
-from dair_pll_tpu.ops import soa, soa_cones, soa_solver
+from dair_pll_tpu.ops import soa, soa_solver
 from dair_pll_tpu.ops.soa import Smat, Svec
 
 GRAVITY_ACCELERATION = 9.81
@@ -56,6 +56,78 @@ def supports_fused(model: MultibodyModel) -> bool:
         if spec_b.geom_type not in _FUSED_CONVEX:
             return False
     return True
+
+
+def supports_fused_kernel(model: MultibodyModel) -> bool:
+    """Whether the single-kernel Pallas terms+loss+grad path covers this
+    model: ``supports_fused`` restricted to geometries whose learnable
+    parameters are a small scalar set (box | polygon | sphere — the
+    derived parameters thread through SMEM; ICNN witness networks need
+    the MXU and stay on the XLA fused path)."""
+    if not supports_fused(model):
+        return False
+    for geom in model.geometries:
+        if geom.geom_type not in ("plane", "box", "polygon", "sphere"):
+            return False
+    return True
+
+
+# -- derived scalar parameters ---------------------------------------------------
+def derive_scalar_params(model: MultibodyModel, params: MultibodyParams):
+    """The small derived-parameter pytree the SoA terms chain actually
+    consumes: ``pi`` body inertial vectors (Rucker-Wensing ``pi_cm``),
+    ``mu`` per-geometry friction magnitudes, ``geom`` per-geometry shape
+    arrays (absolute values folded in here so downstream code is sign
+    free). ~15 scalars for the cube model — the whole parameter
+    dependence of the fused loss flows through this pytree, which is what
+    the Pallas terms+loss+grad kernel threads through SMEM
+    (ROADMAP 0b)."""
+    geom_derived = []
+    for spec, gparams in zip(model.geometries, params.geometry):
+        if spec.geom_type == "box":
+            geom_derived.append(
+                {"half": jnp.abs(gparams["half_lengths"]).reshape(3)})
+        elif spec.geom_type == "polygon":
+            geom_derived.append({"verts": gparams["vertices"]})
+        elif spec.geom_type == "sphere":
+            geom_derived.append({"radius": jnp.abs(gparams["radius"])})
+        elif spec.geom_type == "deep_support_convex":
+            # Not scalar-packable (MXU path); carried by reference.
+            geom_derived.append({"icnn": gparams})
+        else:
+            geom_derived.append({})
+    return {"pi": params.pi_cm(), "mu": jnp.abs(params.friction),
+            "geom": tuple(geom_derived)}
+
+
+def scalarize_derived(model: MultibodyModel, derived) -> dict:
+    """Indexes the derived pytree into nested Python lists of 0-d scalars
+    (``sp["pi"][b][i]``, ``sp["mu"][g]``, ``sp["geom"][g]["half"][i]``…)
+    so the terms chain unrolls every tiny contraction at trace time —
+    and so a Pallas kernel body can rebuild the identical structure from
+    SMEM scalar reads."""
+    sp_geom = []
+    for spec, entry in zip(model.geometries, derived["geom"]):
+        if spec.geom_type == "box":
+            sp_geom.append({"half": [entry["half"][i] for i in range(3)]})
+        elif spec.geom_type == "polygon":
+            verts = entry["verts"]
+            sp_geom.append({"verts": [
+                [verts[i, j] for j in range(3)]
+                for i in range(verts.shape[0])]})
+        elif spec.geom_type == "sphere":
+            sp_geom.append({"radius": entry["radius"]})
+        elif spec.geom_type == "deep_support_convex":
+            sp_geom.append({"icnn": entry["icnn"]})
+        else:
+            sp_geom.append({})
+    pi = derived["pi"]
+    return {
+        "pi": [[pi[b, i] for i in range(10)]
+               for b in range(model.n_bodies)],
+        "mu": [derived["mu"][g] for g in range(len(model.geometries))],
+        "geom": sp_geom,
+    }
 
 
 class SoaKinematics(NamedTuple):
@@ -261,23 +333,21 @@ def soa_geometry_kinematics(model: MultibodyModel, kin: SoaKinematics,
     return R_out, p_out, Jw_out, Jv_out
 
 
-def _soa_vertices(spec, params) -> List[Svec]:
+def _soa_vertices(spec, geom_entry) -> List[Svec]:
     """Vertex set as a list of (scalar-leaf) 3-vectors (cf.
-    ``geometry.get_vertices``)."""
+    ``geometry.get_vertices``); consumes the scalarized derived geometry
+    entry (absolute values already folded in)."""
     if spec.geom_type == "box":
-        half = [jnp.abs(params["half_lengths"].reshape(-1)[i])
-                for i in range(3)]
-        return [[jnp.asarray(s, half[0].dtype) * half[i]
+        half = geom_entry["half"]
+        return [[jnp.asarray(s, jnp.result_type(half[0])) * half[i]
                  for i, s in enumerate(signs)]
                 for signs in np.asarray(_UNIT_BOX_VERTICES)]
     if spec.geom_type == "polygon":
-        verts = params["vertices"]
-        return [[verts[i, j] for j in range(3)]
-                for i in range(verts.shape[0])]
+        return [list(row) for row in geom_entry["verts"]]
     raise ValueError(f"no vertex set for {spec.geom_type}")
 
 
-def _soa_support_points(spec, params, direction: Svec) -> List[Svec]:
+def _soa_support_points(spec, geom_entry, direction: Svec) -> List[Svec]:
     """Witness points for one support direction (cf.
     ``geometry.support_points``): top-``n_query`` vertices by support
     value via a compare-exchange network carrying the vertex coordinates
@@ -286,10 +356,11 @@ def _soa_support_points(spec, params, direction: Svec) -> List[Svec]:
     are genuinely large matmuls that belong on the MXU — and transposed
     back into SoA form at the boundary."""
     if spec.geom_type == "sphere":
-        radius = jnp.abs(params["radius"])
+        radius = geom_entry["radius"]
         return [[direction[i] * radius for i in range(3)]]
     if spec.geom_type == "deep_support_convex":
         from dair_pll_tpu.ops import icnn
+        params = geom_entry["icnn"]
         d_major = jnp.stack(
             [jnp.broadcast_to(c, direction[0].shape) for c in direction],
             axis=-1)                                        # (B, 3)
@@ -301,7 +372,7 @@ def _soa_support_points(spec, params, direction: Svec) -> List[Svec]:
                 params["icnn"], d, spec.icnn_negative_slope)))(perturbed)
         return [[points[:, c, i] for i in range(3)]
                 for c in range(spec.n_query)]
-    vertices = _soa_vertices(spec, params)
+    vertices = _soa_vertices(spec, geom_entry)
     dots = [soa.dot(vert, direction) for vert in vertices]
     payloads = [[vert[i] for vert in vertices] for i in range(3)]
     _, sorted_payloads = soa.sort_with_payload(dots, payloads,
@@ -328,12 +399,15 @@ def _soa_collide_plane_convex(spec_b, params_b, R_AB: Smat,
     return phi_list, p_A_list, witnesses_B
 
 
-def soa_contact_terms(model: MultibodyModel, params: MultibodyParams,
+def soa_contact_terms(model: MultibodyModel, sp: dict,
                       kin: SoaKinematics, like: Array
                       ) -> Tuple[Array, List[List[Array]]]:
     """SoA port of ``terms._assemble_contact_terms``: signed distances and
     the cone-major contact Jacobian ``[J_n; mu J_t]`` in cone-field form
     (the contact axis leads, the batch is minor — see ``ops/soa_solver``).
+
+    Args:
+        sp: scalarized derived parameters (:func:`scalarize_derived`).
 
     Returns:
         phi: ``(k, B)`` signed distances.
@@ -341,8 +415,7 @@ def soa_contact_terms(model: MultibodyModel, params: MultibodyParams,
         ordered ``[normal, mu t_x, mu t_y]``.
     """
     n_v = model.n_v
-    mu_all = [jnp.abs(params.friction[g])
-              for g in range(len(model.geometries))]
+    mu_all = sp["mu"]
     R_WG, p_WG, Jw_G, Jv_G = soa_geometry_kinematics(model, kin, like)
 
     phi_pairs: List[Array] = []
@@ -356,7 +429,7 @@ def soa_contact_terms(model: MultibodyModel, params: MultibodyParams,
         p_AoBo_A = soa.matvec_t(R_WA, soa.vsub(p_WB, p_WA))
 
         phi_i, p_AoAc_A, p_BoBc_B = _soa_collide_plane_convex(
-            spec_b, params.geometry[b], R_AB, p_AoBo_A)
+            spec_b, sp["geom"][b], R_AB, p_AoBo_A)
         n_c = len(phi_i)
 
         mu_a, mu_b = mu_all[a], mu_all[b]
@@ -364,10 +437,10 @@ def soa_contact_terms(model: MultibodyModel, params: MultibodyParams,
 
         # Stack this pair's witnesses along a leading contact axis so the
         # Jacobian shift runs once on (n_c, B) leaves.
-        pa = [jnp.stack([jnp.broadcast_to(p[i], like.shape)
-                         for p in p_AoAc_A]) for i in range(3)]
-        pb = [jnp.stack([jnp.broadcast_to(p[i], like.shape)
-                         for p in p_BoBc_B]) for i in range(3)]
+        pa = [soa.stack_contacts([jnp.broadcast_to(p[i], like.shape)
+                                  for p in p_AoAc_A]) for i in range(3)]
+        pb = [soa.stack_contacts([jnp.broadcast_to(p[i], like.shape)
+                                  for p in p_BoBc_B]) for i in range(3)]
 
         # World-frame witness offsets, (n_c, B) per component.
         off_A = [sum(R_WA[i][j] * pa[j] for j in range(3))
@@ -400,7 +473,8 @@ def soa_contact_terms(model: MultibodyModel, params: MultibodyParams,
             Jc_pair[1][v] = mu_pair * t_x
             Jc_pair[2][v] = mu_pair * t_y
 
-        phi_pairs.append(jnp.stack(phi_i))
+        phi_pairs.append(soa.stack_contacts(
+            [jnp.broadcast_to(p, like.shape) for p in phi_i]))
         Jc_pairs.append(Jc_pair)
 
     phi = jnp.concatenate(phi_pairs, axis=0)
@@ -413,10 +487,15 @@ def soa_contact_terms(model: MultibodyModel, params: MultibodyParams,
 
 
 # -- Lagrangian terms -----------------------------------------------------------
-def soa_lagrangian_terms(model: MultibodyModel, pi_cm: Array,
+def soa_lagrangian_terms(model: MultibodyModel, pi: List[List[Array]],
                          kin: SoaKinematics, kin_dot: SoaKinematics,
                          v: Svec, u: Svec) -> Tuple[Smat, Svec]:
-    """SoA port of ``dynamics.lagrangian_terms_from_kinematics``."""
+    """SoA port of ``dynamics.lagrangian_terms_from_kinematics``.
+
+    Args:
+        pi: per-body Rucker-Wensing ``pi_cm`` vectors as nested scalar
+          lists (``pi[b][0..9]`` — see :func:`scalarize_derived`).
+    """
     like = v[0]
     n_v = model.n_v
     M: Smat = soa.zero_smat(n_v, n_v, like)
@@ -425,9 +504,9 @@ def soa_lagrangian_terms(model: MultibodyModel, pi_cm: Array,
            jnp.asarray(-GRAVITY_ACCELERATION, like.dtype)]
 
     for b in range(model.n_bodies):
-        mass = pi_cm[b, 0]
-        c_B = [pi_cm[b, 1 + i] / mass for i in range(3)]
-        I_vec = pi_cm[b, 4:]
+        mass = pi[b][0]
+        c_B = [pi[b][1 + i] / mass for i in range(3)]
+        I_vec = pi[b][4:]
         # [Ixx, Iyy, Izz, Ixy, Ixz, Iyz] -> symmetric 3x3.
         I_cm_B = [[I_vec[0], I_vec[3], I_vec[4]],
                   [I_vec[3], I_vec[1], I_vec[5]],
@@ -491,6 +570,23 @@ def soa_lagrangian_terms(model: MultibodyModel, pi_cm: Array,
     return M, F
 
 
+def soa_multibody_terms_scalar(model: MultibodyModel, sp: dict, q: Svec,
+                               v: Svec, u: Svec
+                               ) -> Tuple[Smat, List[List[Array]], Array,
+                                          Svec]:
+    """SoA terms from scalarized derived parameters — the form a Pallas
+    kernel body consumes directly (every parameter a 0-d scalar).
+    See :func:`soa_multibody_terms` for semantics."""
+    qdot = soa_configuration_rate(model, q, v)
+    kin, kin_dot = jax.jvp(
+        lambda q_inner: soa_body_kinematics(model, q_inner), (q,), (qdot,))
+
+    M, F = soa_lagrangian_terms(model, sp["pi"], kin, kin_dot, v, u)
+    phi, Jc = soa_contact_terms(model, sp, kin, q[0])
+    a_nc = soa.spd_solve(M, F)
+    return M, Jc, phi, a_nc
+
+
 def soa_multibody_terms(model: MultibodyModel, params: MultibodyParams,
                         q: Svec, v: Svec, u: Svec
                         ) -> Tuple[Smat, List[List[Array]], Array, Svec]:
@@ -504,15 +600,8 @@ def soa_multibody_terms(model: MultibodyModel, params: MultibodyParams,
         phi: ``(k, B)`` signed distances.
         a_nc: ``(n_v,)`` svec contact-free acceleration.
     """
-    pi_cm = params.pi_cm()
-    qdot = soa_configuration_rate(model, q, v)
-    kin, kin_dot = jax.jvp(
-        lambda q_inner: soa_body_kinematics(model, q_inner), (q,), (qdot,))
-
-    M, F = soa_lagrangian_terms(model, pi_cm, kin, kin_dot, v, u)
-    phi, Jc = soa_contact_terms(model, params, kin, q[0])
-    a_nc = soa.spd_solve(M, F)
-    return M, Jc, phi, a_nc
+    sp = scalarize_derived(model, derive_scalar_params(model, params))
+    return soa_multibody_terms_scalar(model, sp, q, v, u)
 
 
 # -- fused forward dynamics (rollouts) ----------------------------------------
@@ -522,7 +611,8 @@ def soa_forward_dynamics_batch(model: MultibodyModel,
                                dynamics_epsilon: float,
                                contact_filter_eps: float,
                                ipm_iterations: int,
-                               newton_iterations: int
+                               newton_iterations: int,
+                               solver_backend: str = "auto"
                                ) -> Tuple[Array, Array]:
     """Fused batched Anitescu forward dynamics: ``(B, n_x) -> (B, n_v)``.
 
@@ -548,45 +638,38 @@ def soa_forward_dynamics_batch(model: MultibodyModel,
     xT = x.T
     q = soa.unstack(xT[:n_q])
     v = soa.unstack(xT[n_q:n_q + n_v])
-    u_soa: List[Array] = []
+    # Zero-control rollouts, matching the vmapped ``_partial_step``
+    # convention — but the leaves must exist for actuated models because
+    # ``soa_lagrangian_terms`` indexes ``u[u_index]`` per actuated joint.
+    u_soa: List[Array] = [jnp.zeros_like(v[0])
+                          for _ in range(model.n_u)]
 
     M, Jc, phi, a_nc = soa_multibody_terms(model, params, q, v, u_soa)
     v_minus = [v[i] + dt * a_nc[i] for i in range(n_v)]
     jv = soa_solver.j_dot(Jc, v_minus)
     qc = [jv[0] + phi / dt, jv[1], jv[2]]
 
-    def primal_cost(w: List[Array]) -> Array:
-        jw = soa_solver.j_dot(Jc, w)
-        gamma = soa_cones.project([-(jw[i] + qc[i]) / eps
-                                   for i in range(3)])
-        quad = 0.5 * soa.dot(w, soa.matvec(M, w))
-        return quad + 0.5 * eps * jnp.sum(
-            gamma[0] ** 2 + gamma[1] ** 2 + gamma[2] ** 2, axis=0,
-            keepdims=True)
-
     # Warm-started hybrid: short central path, then Newton from the
-    # better of (carried w, IPM w) by primal cost — per sample.
-    x_ipm = soa_solver.solve_ipm_mj(M, Jc, qc, eps, ipm_iterations)
-    w_ipm = soa.spd_solve(M, soa_solver.jt_dot(Jc, x_ipm))
+    # better of (carried w, IPM w) by primal cost — per sample. On TPU
+    # the whole solve runs VMEM-resident in one Pallas kernel
+    # (ops/soa_pallas.py), same code as the XLA path.
     w_carry = [w0.T[i][None, :] for i in range(n_v)]
-    better = primal_cost(w_carry) < primal_cost(w_ipm)
-    w_init = [jnp.where(better, w_carry[i], w_ipm[i])
-              for i in range(n_v)]
-    gamma, w = soa_solver.sap_newton(M, Jc, qc, eps, newton_iterations,
-                                     w_init)
+    if solver_backend == "auto":
+        solver_backend = ("pallas" if jax.default_backend() not in
+                          ("cpu",) else "xla")
+    if solver_backend in ("pallas", "pallas_interpret"):
+        from dair_pll_tpu.ops.soa_pallas import solve_warm_hybrid_soa_pallas
+        gamma, w, valid = solve_warm_hybrid_soa_pallas(
+            M, Jc, qc, w_carry, float(dynamics_epsilon), ipm_iterations,
+            newton_iterations,
+            interpret=solver_backend == "pallas_interpret")
+    else:
+        gamma, w, valid = soa_solver.solve_warm_hybrid_soa(
+            M, Jc, qc, w_carry, eps, ipm_iterations, newton_iterations)
 
-    # Failure masking + contact activation filter (inactive at physical
-    # scales; reference multibody_learnable_system.py:186-192, 262-301).
-    finite = jnp.all(jnp.isfinite(gamma[0]) & jnp.isfinite(gamma[1]) &
-                     jnp.isfinite(gamma[2]), axis=0, keepdims=True)
-    bounded = jnp.all((jnp.abs(gamma[0]) <= 1e3) &
-                      (jnp.abs(gamma[1]) <= 1e3) &
-                      (jnp.abs(gamma[2]) <= 1e3), axis=0, keepdims=True)
-    valid = finite & bounded
-    gamma = [jnp.where(valid, jnp.nan_to_num(comp),
-                       jnp.zeros_like(comp)) for comp in gamma]
-    w = [jnp.where(valid, jnp.nan_to_num(comp), jnp.zeros_like(comp))
-         for comp in w]
+    # Contact activation filter (inactive at physical scales; reference
+    # multibody_learnable_system.py:262-301). Failure masking happens
+    # inside the solve.
     active = phi <= contact_filter_eps
     gamma = [jnp.where(active, comp, jnp.zeros_like(comp))
              for comp in gamma]
@@ -599,6 +682,61 @@ def soa_forward_dynamics_batch(model: MultibodyModel,
 
 
 # -- ContactNets loss -------------------------------------------------------------
+def soa_loss_parts(model: MultibodyModel, sp: dict, v: Svec,
+                   q_plus: Svec, v_plus: Svec, u_soa: Svec, dt: float):
+    """Everything before the cone solve: terms at the observed next state
+    and the ContactNets QP pieces (cf.
+    ``MultibodyLearnableSystem._contactnets_qp``).
+
+    Returns:
+        ``(M, Jc, phi, qc, dv)`` — mass smat, cone-major Jacobian, signed
+        distances ``(k, B)``, QP linear cone field, velocity residual.
+    """
+    n_v = model.n_v
+    M, Jc, phi, a_nc = soa_multibody_terms_scalar(
+        model, sp, q_plus, v_plus, u_soa)
+
+    # q_vec = q_pred + q_comp + q_diss, assembled as a cone field.
+    dv = [v_plus[i] - (v[i] + a_nc[i] * dt) for i in range(n_v)]
+    j_dv = soa_solver.j_dot(Jc, dv)
+    j_vplus = soa_solver.j_dot(Jc, v_plus)
+
+    s1, s2 = j_vplus[1], j_vplus[2]            # (k, B) sliding velocities
+    sliding_sq = s1 * s1 + s2 * s2
+    # Safe norm at exactly-resting contacts (value exact, gradient 0).
+    at_rest = sliding_sq < 1e-24
+    sliding_speed = jnp.sqrt(
+        jnp.where(at_rest, jnp.ones_like(sliding_sq), sliding_sq))
+    sliding_speed = jnp.where(at_rest, jnp.zeros_like(sliding_speed),
+                              sliding_speed)
+    qc = [-j_dv[0] + jnp.abs(phi) + dt * sliding_speed,
+          -j_dv[1] + dt * s1,
+          -j_dv[2] + dt * s2]
+    return M, Jc, phi, qc, dv
+
+
+def soa_loss_assemble(M: Smat, Jc, phi: Array, qc, dv: Svec, force,
+                      valid: Array, eps) -> Array:
+    """Loss given the (detached) solve result: ``0.5 f'(D + eps I) f +
+    f'q + 0.5 dv'M dv + sum max(-phi, 0)^2`` with ``f'D f`` computed
+    matrix-free as ``(J'f)' M^{-1} (J'f)``. Returns keepdims ``(1, B)``
+    (kernel-compatible rank)."""
+    jtf = soa_solver.jt_dot(Jc, force)
+    minv_jtf = soa.spd_solve(M, jtf)
+    f_sq = jnp.sum(force[0] ** 2 + force[1] ** 2 + force[2] ** 2,
+                   axis=0, keepdims=True)
+    f_dot_q = jnp.sum(force[0] * qc[0] + force[1] * qc[1] +
+                      force[2] * qc[2], axis=0, keepdims=True)
+    quad = soa.dot(jtf, minv_jtf) + eps * f_sq
+
+    penetration = jnp.sum(jnp.maximum(-phi, 0.0) ** 2, axis=0,
+                          keepdims=True)
+    constant = 0.5 * soa.dot(dv, soa.matvec(M, dv)) + penetration
+
+    loss = 0.5 * quad + f_dot_q + constant
+    return jnp.where(valid, loss, jnp.zeros_like(loss))
+
+
 def soa_contactnets_loss(model: MultibodyModel, params: MultibodyParams,
                          x: Array, u: Array, x_plus: Array, dt: float,
                          loss_epsilon: float, ipm_iterations: int,
@@ -624,26 +762,9 @@ def soa_contactnets_loss(model: MultibodyModel, params: MultibodyParams,
     v_plus = soa.unstack(xpT[n_q:n_q + n_v])
     u_soa = soa.unstack(u.T) if model.n_u > 0 else []
 
-    M, Jc, phi, a_nc = soa_multibody_terms(
-        model, params, q_plus, v_plus, u_soa)
-
-    # q_vec = q_pred + q_comp + q_diss, assembled as a cone field
-    # (cf. MultibodyLearnableSystem._contactnets_qp).
-    dv = [v_plus[i] - (v[i] + a_nc[i] * dt) for i in range(n_v)]
-    j_dv = soa_solver.j_dot(Jc, dv)
-    j_vplus = soa_solver.j_dot(Jc, v_plus)
-
-    s1, s2 = j_vplus[1], j_vplus[2]            # (k, B) sliding velocities
-    sliding_sq = s1 * s1 + s2 * s2
-    # Safe norm at exactly-resting contacts (value exact, gradient 0).
-    at_rest = sliding_sq < 1e-24
-    sliding_speed = jnp.sqrt(
-        jnp.where(at_rest, jnp.ones_like(sliding_sq), sliding_sq))
-    sliding_speed = jnp.where(at_rest, jnp.zeros_like(sliding_speed),
-                              sliding_speed)
-    qc = [-j_dv[0] + jnp.abs(phi) + dt * sliding_speed,
-          -j_dv[1] + dt * s1,
-          -j_dv[2] + dt * s2]
+    sp = scalarize_derived(model, derive_scalar_params(model, params))
+    M, Jc, phi, qc, dv = soa_loss_parts(
+        model, sp, v, q_plus, v_plus, u_soa, dt)
 
     # Detached hybrid solve (envelope theorem, reference :172-184). On
     # TPU the whole solve runs VMEM-resident in one Pallas kernel
@@ -667,17 +788,8 @@ def soa_contactnets_loss(model: MultibodyModel, params: MultibodyParams,
             M_sg, Jc_sg, qc_sg, eps, ipm_iterations, newton_iterations)
     force = jax.tree_util.tree_map(sg, force)
 
-    # Loss: 0.5 f'(D + eps I) f + f'q + 0.5 dv'M dv + sum max(-phi,0)^2,
-    # with f'D f computed matrix-free as (J'f)' M^{-1} (J'f).
-    jtf = soa_solver.jt_dot(Jc, force)
-    minv_jtf = soa.spd_solve(M, jtf)
-    f_sq = jnp.sum(force[0] ** 2 + force[1] ** 2 + force[2] ** 2, axis=0)
-    f_dot_q = jnp.sum(force[0] * qc[0] + force[1] * qc[1] +
-                      force[2] * qc[2], axis=0)
-    quad = soa.dot(jtf, minv_jtf) + eps * f_sq
-
-    penetration = jnp.sum(jnp.maximum(-phi, 0.0) ** 2, axis=0)
-    constant = 0.5 * soa.dot(dv, soa.matvec(M, dv)) + penetration
-
-    loss = 0.5 * quad + f_dot_q + constant
-    return jnp.where(valid, loss, jnp.zeros_like(loss))
+    loss = soa_loss_assemble(M, Jc, phi, qc, dv, force, valid, eps)
+    # ``valid`` carries a keepdims leading axis from the solver's (1, B)
+    # reductions; flatten so the promised (B,) contract actually holds
+    # for direct callers (not just the batch_shape-reshaping caller).
+    return loss.reshape(-1)

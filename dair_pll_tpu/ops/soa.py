@@ -47,6 +47,19 @@ def stack(vec: Sequence[Array]) -> Array:
     return jnp.stack(list(vec), axis=0)
 
 
+def stack_contacts(leaves: Sequence[Array]) -> Array:
+    """Stacks per-contact scalar leaves along a leading contact axis.
+
+    Shape-polymorphic over the two SoA dialects: ``(B,)`` leaves (the XLA
+    path) stack to ``(k, B)``; ``(1, B)`` leaves (Pallas kernel bodies,
+    where rank-1 intermediates are rejected) concatenate to the same
+    ``(k, B)``."""
+    leaves = list(leaves)
+    if leaves[0].ndim >= 2:
+        return jnp.concatenate(leaves, axis=0)
+    return jnp.stack(leaves, axis=0)
+
+
 def unstack_mat(arr: Array) -> Smat:
     """``(m, n, B)`` -> nested list."""
     return [[arr[i, j] for j in range(arr.shape[1])]

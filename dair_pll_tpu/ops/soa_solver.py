@@ -361,3 +361,46 @@ def solve_contact_impulse_soa(M: Smat, Jc: ConeMat, qc: ConeField, eps,
     gamma = [jnp.where(valid, jnp.nan_to_num(comp),
                        jnp.zeros_like(comp)) for comp in gamma]
     return gamma, valid
+
+
+def primal_cost(M: Smat, Jc: ConeMat, qc: ConeField, eps,
+                w: Svec) -> Array:
+    """Regularized SAP primal objective per sample (``(1, B)``)."""
+    jw = j_dot(Jc, w)
+    gamma = soa_cones.project([-(jw[i] + qc[i]) / eps for i in range(3)])
+    quad = 0.5 * soa.dot(w, soa.matvec(M, w))
+    return quad + 0.5 * eps * jnp.sum(
+        gamma[0] ** 2 + gamma[1] ** 2 + gamma[2] ** 2, axis=0,
+        keepdims=True)
+
+
+def solve_warm_hybrid_soa(M: Smat, Jc: ConeMat, qc: ConeField,
+                          w_carry: Svec, eps, ipm_iterations: int,
+                          newton_iterations: int
+                          ) -> Tuple[ConeField, Svec, Array]:
+    """Warm-started hybrid solve for sequential rollouts: a short IPM
+    central path, then SAP-Newton from the better (by primal cost) of the
+    carried primal ``w_carry`` and the IPM iterate, with per-sample
+    failure masking. The rollout path's counterpart of
+    :func:`solve_contact_impulse_soa` (cf.
+    ``sap_solver.solve_cone_qp_hybrid_warm``). Returns
+    ``(impulse cone field, w, valid)``."""
+    n_v = len(M)
+    x_ipm = solve_ipm_mj(M, Jc, qc, eps, ipm_iterations)
+    w_ipm = soa.spd_solve(M, jt_dot(Jc, x_ipm))
+    better = primal_cost(M, Jc, qc, eps, w_carry) < \
+        primal_cost(M, Jc, qc, eps, w_ipm)
+    w_init = [jnp.where(better, w_carry[i], w_ipm[i])
+              for i in range(n_v)]
+    gamma, w = sap_newton(M, Jc, qc, eps, newton_iterations, w_init)
+
+    finite = _field_isfinite(gamma)
+    bounded = jnp.all((jnp.abs(gamma[0]) <= 1e3) &
+                      (jnp.abs(gamma[1]) <= 1e3) &
+                      (jnp.abs(gamma[2]) <= 1e3), axis=0, keepdims=True)
+    valid = finite & bounded
+    gamma = [jnp.where(valid, jnp.nan_to_num(comp),
+                       jnp.zeros_like(comp)) for comp in gamma]
+    w = [jnp.where(valid, jnp.nan_to_num(comp), jnp.zeros_like(comp))
+         for comp in w]
+    return gamma, w, valid

@@ -198,3 +198,78 @@ def test_fused_loss_icnn_geometry():
                       jax.tree_util.tree_leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
                                    rtol=1e-6, atol=1e-10)
+
+
+def test_fused_rollout_actuated_model(tmp_path):
+    """Regression (round-2 advisor): actuated models (n_u > 0) pass
+    ``supports_fused`` and must roll out through the fused path with the
+    zero-control convention instead of crashing on missing u leaves."""
+    import os
+    import textwrap
+    urdf = os.path.join(str(tmp_path), "actuated.urdf")
+    with open(urdf, "w", encoding="utf-8") as handle:
+        handle.write(textwrap.dedent("""\
+        <robot name="paddle">
+          <link name="base">
+            <inertial>
+              <mass value="0.5"/>
+              <inertia ixx="0.002" iyy="0.003" izz="0.004"
+                       ixy="0" ixz="0" iyz="0"/>
+            </inertial>
+            <collision>
+              <geometry><box size="0.1 0.1 0.1"/></geometry>
+            </collision>
+          </link>
+          <link name="arm">
+            <inertial>
+              <mass value="0.2"/>
+              <inertia ixx="0.001" iyy="0.001" izz="0.001"
+                       ixy="0" ixz="0" iyz="0"/>
+            </inertial>
+            <collision>
+              <geometry><box size="0.08 0.02 0.02"/></geometry>
+            </collision>
+          </link>
+          <joint name="swing" type="revolute">
+            <parent link="base"/>
+            <child link="arm"/>
+            <origin xyz="0 0 0.1" rpy="0 0 0"/>
+            <axis xyz="0 1 0"/>
+          </joint>
+          <transmission name="swing_drive">
+            <joint name="swing"/>
+          </transmission>
+        </robot>
+        """))
+    model = build_multibody_model({"paddle": urdf})
+    assert model.n_u == 1
+    system = MultibodyLearnableSystem(model, 0.0068)
+    assert system.supports_fused_loss()
+
+    key = jax.random.PRNGKey(17)
+    n_x = model.n_q + model.n_v
+    x0 = jax.random.normal(key, (8, n_x), jnp.float64)
+    x0 = x0.at[:, :4].set(
+        x0[:, :4] / jnp.linalg.norm(x0[:, :4], axis=-1, keepdims=True))
+    x0 = x0.at[:, 6].set(0.2 + 0.05 * jnp.arange(8))
+    params = model.initial_params(jnp.float64)
+
+    fused = system.simulate_batch(params, x0, 5, use_fused=True)
+    ref = system.simulate_batch(params, x0, 5, use_fused=False)
+    assert fused.shape == ref.shape == (8, 6, n_x)
+    assert np.all(np.isfinite(np.asarray(fused)))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_fused_loss_flat_shape_contract():
+    """Regression (round-2 advisor): ``soa_contactnets_loss`` must return
+    a flat ``(B,)`` array for direct callers, not ``(1, B)``."""
+    from dair_pll_tpu.multibody.soa_terms import soa_contactnets_loss
+    model = build_multibody_model({"cube": get_asset("cube")})
+    key = jax.random.PRNGKey(23)
+    x, u, x_plus = _random_transitions(model, 12, key)
+    params = model.initial_params(jnp.float64)
+    losses = soa_contactnets_loss(model, params, x, u, x_plus, 0.0068,
+                                  1e-3, 10, 6, solver_backend="xla")
+    assert losses.shape == (12,)

@@ -126,3 +126,49 @@ def test_soa_nt_scaling_and_step_to_boundary():
     got = _step_to_boundary(_field(x), _field(du))
     np.testing.assert_allclose(np.asarray(got).reshape(-1),
                                np.asarray(ref), rtol=1e-12, atol=1e-12)
+
+
+def test_warm_hybrid_pallas_kernel_matches_soa_solver():
+    """The warm-started Pallas hybrid-solve kernel (interpret mode on
+    CPU) matches the XLA SoA warm solve — same code, same order (VERDICT
+    round-2 item 4: the rollout solve through the Pallas kernel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dair_pll_tpu.ops.soa_pallas import solve_warm_hybrid_soa_pallas
+    from dair_pll_tpu.ops.soa_solver import solve_warm_hybrid_soa
+
+    B, k, n_v = 48, 4, 6
+    key = jax.random.PRNGKey(3)
+    kM, kJ, kq, kw = jax.random.split(key, 4)
+    A = jax.random.normal(kM, (n_v, n_v, B), jnp.float64)
+    M = [[sum(A[i][l] * A[j][l] for l in range(n_v)) +
+          (2.0 if i == j else 0.0) for j in range(n_v)]
+         for i in range(n_v)]
+    J = jax.random.normal(kJ, (3, n_v, k, B), jnp.float64)
+    Jc = [[J[i, v] for v in range(n_v)] for i in range(3)]
+    q = jax.random.normal(kq, (3, k, B), jnp.float64)
+    qc = [q[i] for i in range(3)]
+    w0 = jax.random.normal(kw, (n_v, B), jnp.float64)
+    w_carry = [w0[v][None, :] for v in range(n_v)]
+
+    # Compare under jit on both sides: XLA:CPU fuses/FMAs differently in
+    # eager vs compiled mode, and on these random (barely convergent)
+    # QPs that 1-ulp difference amplifies through the Newton line search.
+    import functools
+    ref_fn = jax.jit(functools.partial(
+        solve_warm_hybrid_soa, eps=1e-3, ipm_iterations=10,
+        newton_iterations=6))
+    f_ref, w_ref, v_ref = ref_fn(M, Jc, qc, w_carry)
+    f_pal, w_pal, v_pal = solve_warm_hybrid_soa_pallas(
+        M, Jc, qc, w_carry, 1e-3, 10, 6, block=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.stack(f_pal)),
+                               np.asarray(jnp.stack(f_ref)),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(w_pal, axis=0)),
+        np.asarray(jnp.concatenate(
+            [jnp.broadcast_to(w, (1, B)) for w in w_ref], axis=0)),
+        rtol=1e-8, atol=1e-8)
+    np.testing.assert_array_equal(
+        np.asarray(v_pal).reshape(-1), np.asarray(v_ref).reshape(-1))
