@@ -384,7 +384,16 @@ class SupervisedLearningExperiment:
         opt_state = state.optimizer_state
 
         if state.finished_training:
-            return 0.0, state.best_valid_loss, state.best_params
+            # A finished checkpoint only short-circuits when its budget is
+            # truly exhausted: successive-halving studies resume the same
+            # run with a LARGER epoch budget, which must continue training
+            # (early-stopped runs stay finished — patience persists).
+            exhausted = (state.epoch > config.optimizer_config.epochs or
+                         state.epochs_since_best >=
+                         config.optimizer_config.patience)
+            if exhausted:
+                return 0.0, state.best_valid_loss, state.best_params
+            state.finished_training = False
 
         # Pre-update loss report (reference experiment.py:594-611).
         perm, weights = self._epoch_permutation(
@@ -449,9 +458,15 @@ class SupervisedLearningExperiment:
                     self._epoch_training_objective_on_valid(
                         eval_epoch_fn, params, valid_set, valid_past,
                         valid_future, rng, batch_size)
+                # Force a full evaluation on the final budgeted epoch so
+                # the returned best_valid reflects the trained model even
+                # when the budget is shorter than the evaluation period
+                # (successive-halving rungs would otherwise compare every
+                # trial at the identical epoch-0 metric).
+                final_epoch = state.epoch == config.optimizer_config.epochs
                 eval_valid_loss = self.per_epoch_evaluation(
                     state.epoch, params, train_loss, training_duration,
-                    objective_valid_loss)
+                    objective_valid_loss, force=final_epoch)
                 if eval_valid_loss is not None:
                     carried_valid_loss = eval_valid_loss
                 elif self.config.full_evaluation_samples <= 0:
@@ -503,7 +518,8 @@ class SupervisedLearningExperiment:
     # -- per-epoch evaluation ---------------------------------------------------
     def per_epoch_evaluation(self, epoch: int, params: Any,
                              train_loss: float, training_duration: float,
-                             objective_valid_loss: float) -> Optional[float]:
+                             objective_valid_loss: float,
+                             force: bool = False) -> Optional[float]:
         """Evaluates and logs training progress at the end of an epoch
         (reference ``experiment.py:422-488`` + ``write_to_wandb``
         :380-420).
@@ -523,7 +539,7 @@ class SupervisedLearningExperiment:
         statistics: Dict = {}
         period = max(1, self.config.full_evaluation_period)
         if self.config.full_evaluation_samples > 0 and \
-                (epoch % period) == 0:
+                (force or (epoch % period) == 0):
             train_set, valid_set, _ = self.data_manager.get_trajectory_sets()
             n_samples = self.config.full_evaluation_samples
             eval_sets = {}

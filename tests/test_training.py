@@ -319,6 +319,10 @@ def test_multistep_contactnets_window(cube_training_storage):
     # the one-step slice loss on the same data.
     system = experiment.learned_system
     params = system.model.initial_params(jnp.float64)
+    # Perturb away from the data-generating truth so the losses are
+    # non-trivial (at the truth both objectives are ~0 ~= 0).
+    params = jax.tree_util.tree_map(
+        lambda leaf: leaf * 1.15 + 0.01, params)
     train_set, _, _ = experiment.data_manager.get_trajectory_sets()
     past = jnp.asarray(train_set.slices_past[:8])
     future = jnp.asarray(train_set.slices_future[:8])
@@ -340,3 +344,55 @@ def test_multistep_contactnets_window(cube_training_storage):
         assert np.all(np.isfinite(np.asarray(leaf)))
         nonzero += int(np.any(np.asarray(leaf) != 0.0))
     assert nonzero > 0
+
+
+def test_resume_with_larger_budget_continues(cube_training_storage):
+    """Successive-halving rungs re-run a trial with a LARGER epoch budget:
+    a budget-exhausted checkpoint must continue training instead of
+    returning its stale result (round-3 study-artifact bug: every rung
+    resumed a finished run and all trials reported the identical epoch-0
+    metric)."""
+    config = make_config(cube_training_storage, "halving_resume_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=2,
+                         full_evaluation_samples=0)
+    experiment = MultibodyLearnableExperiment(config)
+    epochs_seen = []
+    experiment.train(lambda e, *a: epochs_seen.append(e))
+    assert max(epochs_seen) == 2
+
+    # Same run name, doubled budget: training continues from epoch 3.
+    config.optimizer_config.epochs = 4
+    experiment2 = MultibodyLearnableExperiment(config)
+    epochs_seen2 = []
+    experiment2.train(lambda e, *a: epochs_seen2.append(e))
+    assert epochs_seen2 and min(epochs_seen2) == 3 and \
+        max(epochs_seen2) == 4
+
+    # Unchanged budget: the finished checkpoint short-circuits.
+    experiment3 = MultibodyLearnableExperiment(config)
+    epochs_seen3 = []
+    experiment3.train(lambda e, *a: epochs_seen3.append(e))
+    assert epochs_seen3 == []
+
+
+def test_final_epoch_forces_full_evaluation(cube_training_storage):
+    """When the epoch budget is shorter than full_evaluation_period the
+    final epoch still runs the trajectory evaluation, so short
+    successive-halving rungs rank trials by their TRAINED models rather
+    than the shared epoch-0 metric."""
+    import json
+    config = make_config(cube_training_storage, "short_rung_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=3,
+                         full_evaluation_period=10,
+                         full_evaluation_samples=2)
+    experiment = MultibodyLearnableExperiment(config)
+    _, best_valid, _ = experiment.train(lambda *a: None)
+    assert np.isfinite(best_valid)
+
+    log_path = file_utils.log_path(cube_training_storage,
+                                   "short_rung_run")
+    records = [json.loads(line) for line in open(log_path)]
+    by_epoch = {r["epoch"]: r for r in records}
+    assert "valid_trajectory_mse" in by_epoch[3]
+    assert "valid_trajectory_mse" not in by_epoch[1]
+    assert "valid_trajectory_mse" not in by_epoch[2]
