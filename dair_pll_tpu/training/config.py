@@ -26,12 +26,25 @@ class OptimizerConfig:
     Default hyperpriors match reference ``experiment_config.py:19-34``:
     lr = 1e-5 (log), wd = 4e-5 (log), batch = 64 (log), epochs = 1e4,
     patience = 30.
+
+    ``lr_schedule`` selects the learning-rate schedule (beyond the
+    reference, which only trains at constant lr): ``"constant"`` or
+    ``"cosine"`` (cosine decay from ``lr`` to ``cosine_alpha * lr`` over
+    the full ``epochs`` budget, measured in optimizer steps with the
+    initial epoch's step count; late-phase lr decay settles the
+    geometry/friction trade-off that constant-lr runs keep oscillating
+    across — see ``results/cube_mesh_r3.json``).
     """
     lr: Float = dataclasses.field(default_factory=lambda: Float(1e-5))
     wd: Float = dataclasses.field(default_factory=lambda: Float(4e-5))
     patience: int = 30
     epochs: int = 10000
     batch_size: Int = dataclasses.field(default_factory=lambda: Int(64))
+    lr_schedule: str = "constant"
+    cosine_alpha: float = 0.1
+
+    def __post_init__(self):
+        assert self.lr_schedule in ("constant", "cosine")
 
 
 @dataclasses.dataclass

@@ -221,6 +221,20 @@ class SupervisedLearningExperiment:
         self.learned_system, init_params = self.get_learned_system()
         lr = config.optimizer_config.lr.value
         wd = config.optimizer_config.wd.value
+        if config.optimizer_config.lr_schedule == "cosine":
+            # Cosine decay over the full epoch budget, measured in
+            # optimizer steps (wraparound-padded batches per epoch, as
+            # scheduled by _epoch_permutation). Counted from the CURRENT
+            # dataset size; drip-fed datasets decay slightly faster than
+            # nominal, which is benign.
+            train_set, _, _ = self.data_manager.get_trajectory_sets()
+            n_slices = max(1, len(train_set.slices_past))
+            batch = min(config.optimizer_config.batch_size.value, n_slices)
+            steps = -(-n_slices // batch) * max(
+                1, config.optimizer_config.epochs)
+            lr = optax.cosine_decay_schedule(
+                lr, decay_steps=steps,
+                alpha=config.optimizer_config.cosine_alpha)
         optimizer = optax.adamw(lr, weight_decay=wd) if wd > 0 else \
             optax.adam(lr)
 

@@ -137,6 +137,20 @@ def test_contactnets_training_loss_decreases(cube_training_storage):
     assert losses[-1] < losses[0]
 
 
+def test_cosine_lr_schedule_trains(cube_training_storage):
+    """lr_schedule="cosine" decays the step size over the epoch budget
+    and still reduces the training loss (beyond the reference, which only
+    trains at constant lr)."""
+    config = make_config(cube_training_storage, "cosine_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=5,
+                         full_evaluation_samples=0)
+    config.optimizer_config.lr_schedule = "cosine"
+    experiment = MultibodyLearnableExperiment(config)
+    losses = []
+    experiment.train(lambda e, p, tl, bv: losses.append(tl))
+    assert losses[-1] < losses[0]
+
+
 def test_checkpoint_resume(cube_training_storage):
     config = make_config(cube_training_storage, "resume_run",
                          MultibodyLosses.CONTACTNETS_LOSS, epochs=3,
