@@ -25,10 +25,14 @@ DT = 0.0068
 @click.option("--max-epochs", default=48)
 def main(storage, n_trials, max_epochs):
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(REPO_ROOT, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    if jax.devices()[0].platform == "tpu":
+        # TPU-only: this jax's XLA:CPU AOT deserialization is not
+        # roundtrip-safe (see CLAUDE.md).
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(REPO_ROOT, ".jax_cache"))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from dair_pll_tpu.assets import get_asset
     from dair_pll_tpu.data.config import DataConfig, TrajectorySliceConfig
