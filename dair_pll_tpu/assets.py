@@ -137,6 +137,19 @@ def cube_mjcf_template() -> str:
 """
 
 
+def _write_atomic(path: str, content: str) -> None:
+    """Atomic same-directory write (temp file + ``os.replace``): the
+    asset cache is shared across processes (multi-process training,
+    xdist test workers), and a plain ``open(...).write`` lets a
+    concurrent reader see a truncated file mid-write. ``os.replace`` is
+    atomic on POSIX, so readers always observe a complete file. Content
+    is deterministic, so last-writer-wins is harmless."""
+    tmp_path = f"{path}.tmp.{os.getpid()}"
+    with open(tmp_path, "w", encoding="utf-8") as handle:
+        handle.write(content)
+    os.replace(tmp_path, path)
+
+
 def write_assets(directory: str) -> Dict[str, str]:
     """Writes all benchmark assets into a directory.
 
@@ -147,8 +160,7 @@ def write_assets(directory: str) -> Dict[str, str]:
     paths = {}
 
     obj_path = os.path.join(directory, "cube.obj")
-    with open(obj_path, "w", encoding="utf-8") as handle:
-        handle.write(_cube_obj())
+    _write_atomic(obj_path, _cube_obj())
     paths["cube_obj"] = obj_path
 
     for name, content in (
@@ -157,13 +169,11 @@ def write_assets(directory: str) -> Dict[str, str]:
             ("elbow", elbow_urdf()),
             ("elbow_mesh", elbow_urdf(mesh_file="cube.obj"))):
         path = os.path.join(directory, f"{name}.urdf")
-        with open(path, "w", encoding="utf-8") as handle:
-            handle.write(content)
+        _write_atomic(path, content)
         paths[name] = path
 
     mjcf_path = os.path.join(directory, "cube_mujoco.xml")
-    with open(mjcf_path, "w", encoding="utf-8") as handle:
-        handle.write(cube_mjcf_template())
+    _write_atomic(mjcf_path, cube_mjcf_template())
     paths["cube_mjcf"] = mjcf_path
     return paths
 

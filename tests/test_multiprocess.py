@@ -99,6 +99,29 @@ def test_two_process_training_matches_single_process(tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+def test_concurrent_get_asset_never_tears(tmp_path):
+    """Regression: concurrent ``get_asset`` callers sharing one cache dir
+    must never observe a truncated file (writes are atomic via
+    ``os.replace``); seen as an ElementTree ``no element found`` in the
+    2-process training test."""
+    cache = str(tmp_path / "assets")
+    script = (
+        "import sys, xml.etree.ElementTree as ET\n"
+        "sys.path.insert(0, %r)\n"
+        "from dair_pll_tpu.assets import get_asset\n"
+        "for _ in range(50):\n"
+        "    ET.parse(get_asset('cube', cache_dir=%r))\n"
+        "    ET.parse(get_asset('elbow', cache_dir=%r))\n"
+        "print('ok')\n" % (REPO, cache, cache))
+    procs = [subprocess.Popen([sys.executable, "-c", script],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for _ in range(4)]
+    for proc in procs:
+        out, _ = proc.communicate(timeout=300)
+        assert proc.returncode == 0, out.decode(errors="replace")[-2000:]
+
+
 def test_file_trial_coordinator_claims_and_gathers(tmp_path):
     """Claim atomicity + result gathering across two concurrent
     claimants (threads suffice: O_CREAT|O_EXCL is the atomic boundary)."""
