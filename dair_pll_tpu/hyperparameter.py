@@ -47,6 +47,12 @@ class Hyperparameter:
         reference's TPE/Hyperband stack, ``study.py:127-160``)."""
         raise NotImplementedError
 
+    def to_unit(self, value: Any) -> float:
+        """Inverse of :meth:`from_unit`: maps a concrete value to its
+        CDF coordinate in ``[0, 1]`` (surrogate-model hook — adaptive
+        samplers model observations in the unit hypercube)."""
+        raise NotImplementedError
+
     def distribution(self) -> Dict[str, Any]:
         """JSON-serializable description of the distribution."""
         raise NotImplementedError
@@ -79,6 +85,14 @@ class Float(Hyperparameter):
             lo, hi = math.log(self.low), math.log(self.high)
             return float(np.exp(lo + u * (hi - lo)))
         return float(self.low + u * (self.high - self.low))
+
+    def to_unit(self, value: Any) -> float:
+        if self.log:
+            lo, hi = math.log(self.low), math.log(self.high)
+            u = (math.log(value) - lo) / max(hi - lo, 1e-300)
+        else:
+            u = (value - self.low) / max(self.high - self.low, 1e-300)
+        return float(min(max(u, 0.0), 1.0))
 
     def distribution(self) -> Dict[str, Any]:
         return {"type": "float", "low": self.low, "high": self.high,
@@ -113,6 +127,15 @@ class Int(Hyperparameter):
         span = self.high - self.low + 1
         return int(min(self.high, self.low + int(u * span)))
 
+    def to_unit(self, value: Any) -> float:
+        if self.log:
+            lo, hi = math.log(self.low), math.log(self.high)
+            u = (math.log(max(int(value), 1)) - lo) / max(hi - lo, 1e-300)
+        else:
+            span = self.high - self.low + 1
+            u = (int(value) - self.low + 0.5) / span
+        return float(min(max(u, 0.0), 1.0))
+
     def distribution(self) -> Dict[str, Any]:
         return {"type": "int", "low": self.low, "high": self.high,
                 "log": self.log}
@@ -133,6 +156,10 @@ class Categorical(Hyperparameter):
     def from_unit(self, u: float) -> Any:
         return self.choices[min(len(self.choices) - 1,
                                 int(u * len(self.choices)))]
+
+    def to_unit(self, value: Any) -> float:
+        index = self.choices.index(value)
+        return (index + 0.5) / len(self.choices)
 
     def distribution(self) -> Dict[str, Any]:
         return {"type": "categorical", "choices": self.choices}
@@ -212,6 +239,77 @@ def generate_quasirandom_suggestions(config: Any, n: int,
             unit[:, j] = strata
     return [{name: hyperparameters[name].from_unit(float(unit[i, j]))
              for j, name in enumerate(names)} for i in range(n)]
+
+
+def _parzen_log_density(points: np.ndarray, queries: np.ndarray) -> \
+        np.ndarray:
+    """Log density of a truncated-Gaussian Parzen estimator on the unit
+    hypercube: one isotropic component per observed point, Scott-rule
+    bandwidth per dimension, uniform floor for numerical safety."""
+    n, dim = points.shape
+    sigma = np.clip(n ** (-1.0 / (dim + 4)) *
+                    np.maximum(points.std(axis=0), 1e-3), 1e-3, 1.0)
+    # (n_queries, n_points, dim) squared z-scores.
+    z2 = ((queries[:, None, :] - points[None, :, :]) / sigma) ** 2
+    comp = -0.5 * z2.sum(axis=-1) - np.log(sigma).sum()
+    m = comp.max(axis=1, keepdims=True)
+    density = np.exp(m).squeeze(1) * np.exp(comp - m).mean(axis=1)
+    return np.log(density + 1e-300)
+
+
+def generate_tpe_suggestions(config: Any,
+                             observations: Sequence[Dict[str, Any]],
+                             losses: Sequence[float], n: int,
+                             seed: int = 0, gamma: float = 0.25,
+                             n_candidates: int = 64) -> list:
+    """Tree-structured-Parzen-Estimator suggestions conditioned on
+    completed trials: the self-contained analogue of the reference's
+    optuna TPE sampler (``/root/reference/dair_pll/study.py:127-160``).
+
+    Observed suggestions map to the unit hypercube (``to_unit``), split
+    at the ``gamma`` quantile of loss into good/bad sets, each modeled by
+    a Parzen (truncated-Gaussian kernel) density; candidates drawn around
+    good points are ranked by ``log l_good(x) - log l_bad(x)`` and the
+    top ``n`` returned. Deterministic in ``(seed, observations)`` — the
+    cross-process study coordinator relies on every process deriving
+    identical suggestions from gathered rung results.
+
+    Falls back to Sobol when fewer than 4 finite-loss observations exist.
+    """
+    hyperparameters = traverse_config(config)
+    names = list(hyperparameters)
+    dim = len(names)
+    finite = [(obs, loss) for obs, loss in zip(observations, losses)
+              if math.isfinite(loss) and all(k in obs for k in names)]
+    if dim == 0:
+        return [{} for _ in range(n)]
+    if len(finite) < 4:
+        return generate_quasirandom_suggestions(config, n, seed)
+
+    unit = np.array([[hyperparameters[k].to_unit(obs[k]) for k in names]
+                     for obs, _ in finite])
+    order = np.argsort([loss for _, loss in finite], kind="stable")
+    n_good = max(2, int(math.ceil(gamma * len(finite))))
+    good, bad = unit[order[:n_good]], unit[order[n_good:]]
+    if len(bad) < 2:
+        bad = unit  # degenerate split: rank against the full density
+
+    rng = np.random.default_rng(seed)
+    suggestions = []
+    for _ in range(n):
+        centers = good[rng.integers(len(good), size=n_candidates)]
+        sigma = np.clip(
+            len(good) ** (-1.0 / (dim + 4)) *
+            np.maximum(good.std(axis=0), 1e-3), 1e-3, 1.0)
+        cand = np.clip(
+            centers + rng.standard_normal((n_candidates, dim)) * sigma,
+            0.0, 1.0 - 1e-9)
+        score = (_parzen_log_density(good, cand) -
+                 _parzen_log_density(bad, cand))
+        best = cand[int(np.argmax(score))]
+        suggestions.append({k: hyperparameters[k].from_unit(float(best[j]))
+                            for j, k in enumerate(names)})
+    return suggestions
 
 
 def load_suggestion(config: Any, suggestion: Dict[str, Any]) -> None:

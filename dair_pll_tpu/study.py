@@ -4,10 +4,13 @@ Rebuild of the reference's ``study.py``
 (``/root/reference/dair_pll/study.py:27-203``). The reference delegates
 search to optuna (TPE sampler + Hyperband pruner, optional remote RDB
 server); optuna is not a dependency here, so the study layer implements a
-self-contained **random search with successive-halving (Hyperband-style)
-pruning**: trials are sampled from the hyperparameter distributions
-embedded in the config (``dair_pll_tpu.hyperparameter``), run in rungs of
-increasing epoch budget, and the worst fraction is pruned at each rung.
+self-contained sampler stack — **Sobol quasi-random** (default),
+**TPE-style adaptive** (Sobol exploration then Parzen-surrogate
+exploitation), or i.i.d. random — **with successive-halving
+(Hyperband-style) pruning**: trials are sampled from the hyperparameter
+distributions embedded in the config (``dair_pll_tpu.hyperparameter``),
+run in rungs of increasing epoch budget, and the worst fraction is
+pruned at each rung.
 
 Trials are embarrassingly parallel — the natural multi-slice decomposition
 (mirroring the reference's parallel-trials-over-RDB design,
@@ -26,7 +29,7 @@ import numpy as np
 
 from dair_pll_tpu.hyperparameter import (
     generate_quasirandom_suggestions, generate_suggestion,
-    load_suggestion)
+    generate_tpe_suggestions, load_suggestion)
 from dair_pll_tpu.training.config import SupervisedLearningExperimentConfig
 from dair_pll_tpu.utils import file_utils
 
@@ -48,8 +51,13 @@ class StudyConfig:
         reduction_factor: successive-halving reduction per rung (eta).
         seed: sampling seed.
         sampler: ``"sobol"`` (default — scrambled low-discrepancy
-          sequence, better space coverage at equal trial budgets) or
-          ``"random"`` (i.i.d. draws, the round-1 behavior).
+          sequence, better space coverage at equal trial budgets),
+          ``"tpe"`` (adaptive: the first half of the trial budget
+          explores via Sobol, then a Parzen good/bad surrogate
+          conditioned on those results proposes the second half — the
+          self-contained analogue of the reference's optuna TPE,
+          ``study.py:127-160``), or ``"random"`` (i.i.d. draws, the
+          round-1 behavior).
         coordination_dir: optional shared directory for cross-process
           trial dispatch (``parallel.multiprocess.FileTrialCoordinator``
           — the analogue of the reference's shared-optuna-RDB parallel
@@ -98,37 +106,38 @@ class Study:
         trial.valid_loss = float(best_valid)
         return trial.valid_loss
 
-    def optimize_hyperparameters(self) -> Dict[str, Any]:
-        """Random search + successive halving; returns (and saves) the
-        best hyperparameter values (role of reference
-        ``optimize_hyperparameters``, ``study.py:127-160``)."""
+    def _sample_suggestions(self, n: int, completed: List[Trial]) -> \
+            List[Dict[str, Any]]:
+        """Draws ``n`` suggestions per the configured sampler; ``tpe``
+        conditions on completed trials (deterministic in seed+results so
+        cross-process studies stay consistent)."""
         study_config = self.config
+        if study_config.sampler == "tpe" and completed:
+            return generate_tpe_suggestions(
+                study_config.base_config,
+                [trial.suggestion for trial in completed],
+                [trial.valid_loss for trial in completed], n,
+                # Offset the seed so the exploit phase's candidate draws
+                # decorrelate from the Sobol exploration scramble.
+                seed=study_config.seed + 7919)
+        if study_config.sampler in ("sobol", "tpe"):
+            return generate_quasirandom_suggestions(
+                study_config.base_config, n, study_config.seed)
         rng = np.random.default_rng(study_config.seed)
+        suggestions = []
+        for _ in range(n):
+            config = copy.deepcopy(study_config.base_config)
+            suggestions.append(generate_suggestion(config, rng))
+        return suggestions
 
-        trials: List[Trial] = []
-        if study_config.sampler == "sobol":
-            suggestions = generate_quasirandom_suggestions(
-                study_config.base_config, study_config.n_trials,
-                study_config.seed)
-        else:
-            suggestions = []
-            for _ in range(study_config.n_trials):
-                config = copy.deepcopy(study_config.base_config)
-                suggestions.append(generate_suggestion(config, rng))
-        for index, suggestion in enumerate(suggestions):
-            trials.append(Trial(index=index, suggestion=suggestion))
-
-        coordinator = None
-        if study_config.coordination_dir:
-            from dair_pll_tpu.parallel.multiprocess import (
-                FileTrialCoordinator)
-            coordinator = FileTrialCoordinator(
-                study_config.coordination_dir)
-
-        active = list(trials)
+    def _run_rung_loop(self, active: List[Trial], coordinator,
+                       round_index: int) -> int:
+        """Successive-halving rung loop over ``active`` trials; returns
+        the next unused round index (rung indices are unique study-wide
+        for the cross-process coordinator)."""
+        study_config = self.config
         epochs = study_config.min_epochs
         max_epochs = study_config.base_config.optimizer_config.epochs
-        round_index = 0
         while active:
             rung_epochs = min(epochs, max_epochs)
             if coordinator is None:
@@ -137,8 +146,9 @@ class Study:
             else:
                 # Cross-process rung: claim trials atomically, run the
                 # claimed subset, then gather everyone's results. All
-                # processes derive identical suggestions (same seed), so
-                # the rung state stays consistent without messaging.
+                # processes derive identical suggestions (same seed +
+                # identical gathered results), so the rung state stays
+                # consistent without messaging.
                 indices = [trial.index for trial in active]
                 by_index = {trial.index: trial for trial in active}
                 for index in coordinator.claim_iter(round_index, indices):
@@ -161,6 +171,41 @@ class Study:
                 trial.pruned = True
             active = active[:keep]
             epochs *= study_config.reduction_factor
+        return round_index
+
+    def optimize_hyperparameters(self) -> Dict[str, Any]:
+        """Sampled search + successive halving; returns (and saves) the
+        best hyperparameter values (role of reference
+        ``optimize_hyperparameters``, ``study.py:127-160``). With
+        ``sampler="tpe"`` the trial budget splits into a Sobol
+        exploration phase and a surrogate-guided exploitation phase, each
+        with its own halving rungs."""
+        study_config = self.config
+
+        coordinator = None
+        if study_config.coordination_dir:
+            from dair_pll_tpu.parallel.multiprocess import (
+                FileTrialCoordinator)
+            coordinator = FileTrialCoordinator(
+                study_config.coordination_dir)
+
+        if study_config.sampler == "tpe":
+            n_explore = max(2, study_config.n_trials // 2)
+            phases = [n_explore, study_config.n_trials - n_explore]
+            phases = [count for count in phases if count > 0]
+        else:
+            phases = [study_config.n_trials]
+
+        trials: List[Trial] = []
+        round_index = 0
+        for phase_count in phases:
+            suggestions = self._sample_suggestions(phase_count, trials)
+            phase_trials = [
+                Trial(index=len(trials) + offset, suggestion=suggestion)
+                for offset, suggestion in enumerate(suggestions)]
+            trials.extend(phase_trials)
+            round_index = self._run_rung_loop(
+                list(phase_trials), coordinator, round_index)
 
         best = min(trials, key=lambda t: t.valid_loss)
         file_utils.save_hyperparameters(

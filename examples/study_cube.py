@@ -1,7 +1,8 @@
 """Cube hyperparameter study (rebuild of the reference ``study.py``
 ``__main__`` flow, ``/root/reference/dair_pll/study.py:163-203``): optimize
-ContactNets training hyperparameters on simulated cube tosses with random
-search + successive halving, then run a dataset-size sweep at the optimum.
+ContactNets training hyperparameters on simulated cube tosses with
+Sobol/TPE sampling + successive halving, then run a dataset-size sweep at
+the optimum.
 """
 import os
 import sys
@@ -22,7 +23,11 @@ DT = 1.0 / 148.0  # study time step (reference study.py:174)
 @click.option("--n-pop", default=64)
 @click.option("--sweep/--no-sweep", default=False,
               help="Also run a dataset-size sweep at the optimum.")
-def main(storage, n_trials, max_epochs, n_pop, sweep):
+@click.option("--sampler", default="sobol",
+              type=click.Choice(["sobol", "tpe", "random"]),
+              help="Trial sampler (tpe = Sobol explore then "
+                   "Parzen-surrogate exploit).")
+def main(storage, n_trials, max_epochs, n_pop, sweep, sampler):
     import jax.numpy as jnp
 
     from dair_pll_tpu.assets import get_asset
@@ -81,7 +86,8 @@ def main(storage, n_trials, max_epochs, n_pop, sweep):
     study = Study(StudyConfig(
         experiment_factory=MultibodyLearnableExperiment,
         base_config=base_config, study_name="cube_study",
-        n_trials=n_trials, min_epochs=max(2, max_epochs // 8)))
+        n_trials=n_trials, min_epochs=max(2, max_epochs // 8),
+        sampler=sampler))
 
     best = study.optimize_hyperparameters()
     click.echo(f"best hyperparameters: {best}")
