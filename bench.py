@@ -55,12 +55,34 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    # Production trains epoch-as-scan (training/experiment.py epoch_body):
+    # many optimizer steps per dispatch. Timing a scan of SCAN_STEPS
+    # steps measures the same marginal per-transition cost production
+    # sees, instead of charging the tunnel's ~30 ms per-dispatch overhead
+    # to every step (ROADMAP item 4 — on directly-attached TPU the two
+    # coincide).
+    SCAN_STEPS = 8
+
+    def train_scan(params, opt_state, x, x_plus):
+        def body(carry, _):
+            params, opt_state = carry
+            params, opt_state, loss = train_step(params, opt_state, x,
+                                                 x_plus)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=SCAN_STEPS)
+        return params, opt_state, jnp.mean(losses)
+
+    step = jax.jit(train_scan, donate_argnums=(0, 1))
 
     key = jax.random.PRNGKey(0)
     best = 0.0
     best_batch = 0
-    for batch in (1048576, 2097152):
+    # One production batch size (2M was the round-3 best of {1M, 2M}):
+    # each batch shape costs ~13.5 min of cold Mosaic+XLA compile
+    # (results/compile_time.json), amortized forever by .jax_cache.
+    for batch in (2097152,):
         k1, k2, key = jax.random.split(key, 3)
         x = jax.random.normal(k1, (batch, 13), jnp.float32)
         quat = x[:, :4] / jnp.linalg.norm(x[:, :4], axis=-1, keepdims=True)
@@ -87,13 +109,14 @@ def main():
             float(loss)
             times.append(time.time() - start)
         times.sort()
-        throughput = batch / times[len(times) // 2]
+        throughput = batch * SCAN_STEPS / times[len(times) // 2]
         if throughput > best:
             best = throughput
             best_batch = batch
             best_args = (p, s, x, x_plus)
 
-    detail = _profile_detail(jax, step, best_args, best_batch, best)
+    detail = _profile_detail(jax, step, best_args, best_batch, best,
+                             SCAN_STEPS)
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
@@ -128,7 +151,7 @@ def main():
     }))
 
 
-def _profile_detail(jax, step, args, batch, throughput):
+def _profile_detail(jax, step, args, batch, throughput, scan_steps=1):
     """Device-profile accounting (VERDICT round-2 item 10): per-category
     device-time split (pallas kernels vs XLA fusions vs infeed/other),
     bytes/transition at the HBM roofline, written to
@@ -171,7 +194,7 @@ def _profile_detail(jax, step, args, batch, throughput):
             name = e.get("name", "")
             if is_host(name):
                 continue
-            ms = e["dur"] / 1e3 / n_steps
+            ms = e["dur"] / 1e3 / (n_steps * scan_steps)
             # Pallas kernels surface as custom-call ops named after the
             # enclosing jaxpr scope (the fwd kernel traces as "jvp__",
             # its custom-VJP backward as "transpose_jvp___").
