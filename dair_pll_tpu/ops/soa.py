@@ -225,8 +225,65 @@ def cho_solve(L: Smat, rhs: Svec) -> Svec:
     return x
 
 
+def ldlt(M: Smat) -> Tuple[Smat, Svec]:
+    """Unrolled ``L D L^T`` factorization of a small SPD ``smat``.
+
+    Returns ``(L, d_inv)`` with ``L`` unit-lower-triangular and ``d_inv``
+    the *reciprocal* diagonal of ``D``. Preferred over :func:`cholesky`
+    in hot paths: the factorization needs ``n`` reciprocals and **zero**
+    square roots, and :func:`ldlt_solve` is division-free — on the TPU
+    VPU a divide/sqrt costs several multiply slots, and the IPM solver
+    re-solves against the same factorization many times per iteration.
+    """
+    n = len(M)
+    L: List[List[Array]] = [[None] * n for _ in range(n)]
+    # C[i][j] = L[i][j] * d[j] (the pre-scaled column), kept so inner
+    # updates are multiply-adds without re-multiplying by d.
+    C: List[List[Array]] = [[None] * n for _ in range(n)]
+    d_inv: List[Array] = []
+    one = jnp.ones_like(M[0][0])
+    zero = jnp.zeros_like(M[0][0])
+    for j in range(n):
+        s = M[j][j]
+        for k in range(j):
+            s = s - L[j][k] * C[j][k]
+        dj_inv = 1.0 / s
+        d_inv.append(dj_inv)
+        L[j][j] = one
+        for i in range(j + 1, n):
+            c = M[i][j]
+            for k in range(j):
+                c = c - L[i][k] * C[j][k]
+            C[i][j] = c
+            L[i][j] = c * dj_inv
+    for i in range(n):
+        for j in range(i + 1, n):
+            L[i][j] = zero
+    return L, d_inv
+
+
+def ldlt_solve(fac: Tuple[Smat, Svec], rhs: Svec) -> Svec:
+    """Solves ``L D L^T x = rhs`` from :func:`ldlt` with zero divisions
+    (unit-lower forward sub, reciprocal-diagonal scale, back sub)."""
+    L, d_inv = fac
+    n = len(L)
+    y: List[Array] = []
+    for i in range(n):
+        s = rhs[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y.append(s)
+    x: List[Array] = [None] * n
+    for i in reversed(range(n)):
+        s = y[i] * d_inv[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s
+    return x
+
+
 def spd_solve(M: Smat, rhs: Svec) -> Svec:
-    return cho_solve(cholesky(M), rhs)
+    return ldlt_solve(ldlt(M), rhs)
 
 
 def sym3_inverse(A: Smat, floor: float = 1e-30) -> Smat:

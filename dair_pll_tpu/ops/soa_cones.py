@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import jax.numpy as jnp
-from jax import Array
+from jax import Array, lax
 
 from dair_pll_tpu.ops import soa
 from dair_pll_tpu.ops.soa import Smat, Svec
@@ -36,11 +36,15 @@ def project(u: Cone) -> Cone:
     """Euclidean projection onto one Lorentz cone (branchless; cf.
     ``cones.project``)."""
     n, t1, t2 = u
-    s = jnp.sqrt(jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR))
+    # One rsqrt replaces sqrt + divide (divide/sqrt cost several multiply
+    # slots on the VPU; this runs 10+ times per line search).
+    sq = jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR)
+    s_inv = lax.rsqrt(sq)
+    s = sq * s_inv
     in_cone = s <= n
     in_polar = s <= -n
     h = 0.5 * (n + s)
-    coeff = jnp.where(in_cone, 1.0, jnp.where(in_polar, 0.0, h / s))
+    coeff = jnp.where(in_cone, 1.0, jnp.where(in_polar, 0.0, h * s_inv))
     n_out = jnp.where(in_cone, n, jnp.where(in_polar, 0.0, h))
     return [n_out, coeff * t1, coeff * t2]
 
@@ -48,14 +52,16 @@ def project(u: Cone) -> Cone:
 def projection_jacobian_apply(z: Cone, u: Cone) -> Cone:
     """``D(z) u`` matrix-free (cf. ``cones.projection_jacobian_apply``)."""
     n, t1, t2 = z
-    s = jnp.sqrt(jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR))
-    h1, h2 = t1 / s, t2 / s
+    sq = jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR)
+    s_inv = lax.rsqrt(sq)
+    s = sq * s_inv
+    h1, h2 = t1 * s_inv, t2 * s_inv
     in_cone = s <= n
     in_polar = s <= -n
 
     u0, u1, u2 = u
     hd = h1 * u1 + h2 * u2
-    hos = 0.5 * (n + s) / s
+    hos = 0.5 * (n + s) * s_inv
 
     b0 = 0.5 * (u0 + hd)
     b1 = 0.5 * u0 * h1 + hos * (u1 - h1 * hd) + 0.5 * h1 * hd
@@ -70,11 +76,13 @@ def projection_jacobian_matrix(z: Cone) -> Smat:
     """Dense per-cone projection Jacobian as a 3x3 ``smat`` (cf.
     ``cones.projection_jacobian_matrix``)."""
     n, t1, t2 = z
-    s = jnp.sqrt(jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR))
-    h1, h2 = t1 / s, t2 / s
+    sq = jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR)
+    s_inv = lax.rsqrt(sq)
+    s = sq * s_inv
+    h1, h2 = t1 * s_inv, t2 * s_inv
     in_cone = s <= n
     in_polar = s <= -n
-    hos = 0.5 * (n + s) / s
+    hos = 0.5 * (n + s) * s_inv
 
     one = jnp.ones_like(n)
     zero = jnp.zeros_like(n)
@@ -104,21 +112,24 @@ def jordan_product(u: Cone, v: Cone) -> Cone:
 def arrow_solve(u: Cone, b: Cone) -> Cone:
     d = det(u)
     d = jnp.where(jnp.abs(d) > _SAFE_FLOOR, d, _SAFE_FLOOR)
+    u0_inv = 1.0 / u[0]
     y0 = (u[0] * b[0] - u[1] * b[1] - u[2] * b[2]) / d
-    y1 = (b[1] - y0 * u[1]) / u[0]
-    y2 = (b[2] - y0 * u[2]) / u[0]
+    y1 = (b[1] - y0 * u[1]) * u0_inv
+    y2 = (b[2] - y0 * u[2]) * u0_inv
     return [y0, y1, y2]
 
 
 class NTScaling:
     """Matrix-free NT scaling (cf. ``cones.NTScaling``): per-cone ``v``
-    (det-1 Jordan square root) and ``eta``."""
+    (det-1 Jordan square root), ``eta``, and its reciprocal (so the
+    inverse apply is division-free)."""
 
-    __slots__ = ("v", "eta")
+    __slots__ = ("v", "eta", "eta_inv")
 
-    def __init__(self, v: Cone, eta: Array):
+    def __init__(self, v: Cone, eta: Array, eta_inv: Array = None):
         self.v = v
         self.eta = eta
+        self.eta_inv = 1.0 / eta if eta_inv is None else eta_inv
 
     def apply(self, u: Cone) -> Cone:
         vu = soa.dot(self.v, u)
@@ -129,26 +140,33 @@ class NTScaling:
         v_inv = reflect(self.v)
         vu = soa.dot(v_inv, u)
         ru = reflect(u)
-        return [(2.0 * v_inv[i] * vu - ru[i]) / self.eta for i in range(3)]
+        return [(2.0 * v_inv[i] * vu - ru[i]) * self.eta_inv
+                for i in range(3)]
 
 
 def nt_scaling(x: Cone, z: Cone) -> Tuple[NTScaling, Cone]:
-    """NT scaling and scaled point ``lam = W x`` (cf. ``cones.nt_scaling``)."""
+    """NT scaling and scaled point ``lam = W x`` (cf. ``cones.nt_scaling``).
+
+    rsqrt-form: ``sx = det_x^{-1/2}`` etc. come from ``lax.rsqrt``;
+    ``eta = (det_z/det_x)^{1/4}`` is assembled as
+    ``sqrt(sqrt(det_z) * rsqrt(det_x))`` with ``sqrt(det_z) = det_z * sz``
+    — multiplies plus one sqrt/rsqrt pair instead of a pow."""
     det_x = jnp.maximum(det(x), _SAFE_FLOOR)
     det_z = jnp.maximum(det(z), _SAFE_FLOOR)
-    sx = 1.0 / jnp.sqrt(det_x)
-    sz = 1.0 / jnp.sqrt(det_z)
+    sx = lax.rsqrt(det_x)
+    sz = lax.rsqrt(det_z)
     x_bar = [x[i] * sx for i in range(3)]
     z_bar = [z[i] * sz for i in range(3)]
-    gamma = jnp.sqrt(jnp.maximum(
-        0.5 * (1.0 + soa.dot(x_bar, z_bar)), 1e-15))
+    gamma2 = jnp.maximum(0.5 * (1.0 + soa.dot(x_bar, z_bar)), 1e-15)
     rx = reflect(x_bar)
-    inv_2g = 0.5 / gamma
+    inv_2g = 0.5 * lax.rsqrt(gamma2)
     w_bar = [(z_bar[i] + rx[i]) * inv_2g for i in range(3)]
-    denom = 1.0 / jnp.sqrt(2.0 * (w_bar[0] + 1.0))
+    denom = lax.rsqrt(2.0 * (w_bar[0] + 1.0))
     v = [(w_bar[0] + 1.0) * denom, w_bar[1] * denom, w_bar[2] * denom]
-    eta = (det_z / det_x) ** 0.25
-    scaling = NTScaling(v, eta)
+    eta2 = (det_z * sz) * sx
+    eta = jnp.sqrt(eta2)
+    eta_inv = lax.rsqrt(eta2)
+    scaling = NTScaling(v, eta, eta_inv)
     return scaling, scaling.apply(x)
 
 
@@ -186,8 +204,9 @@ def step_to_boundary_one(u: Cone, du: Cone) -> Array:
     tiny = _SAFE_FLOOR
     safe_A = jnp.where(jnp.abs(A) > tiny, A, tiny)
     safe_B = jnp.where(jnp.abs(B) > tiny, B, tiny)
-    r1 = (-B - sqrt_disc) / (2.0 * safe_A)
-    r2 = (-B + sqrt_disc) / (2.0 * safe_A)
+    inv_2a = 0.5 / safe_A
+    r1 = (-B - sqrt_disc) * inv_2a
+    r2 = (-B + sqrt_disc) * inv_2a
     lin = -C / safe_B
     is_linear = jnp.abs(A) <= 1e-14 * jnp.maximum(jnp.abs(B), 1.0)
     lin_crossing = is_linear & (B < 0.0)

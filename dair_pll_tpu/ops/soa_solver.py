@@ -95,10 +95,10 @@ def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
     algorithm documentation). Returns the impulse as a cone field."""
     k = Jc[0][0].shape[0]
     n_v = len(M)
-    L_M = soa.cholesky(M)
+    F_M = soa.ldlt(M)
 
     def q_dot(x: ConeField) -> ConeField:
-        h = soa.cho_solve(L_M, jt_dot(Jc, x))
+        h = soa.ldlt_solve(F_M, jt_dot(Jc, x))
         jw = j_dot(Jc, h)
         return [jw[i] + eps * x[i] for i in range(3)]
 
@@ -148,13 +148,13 @@ def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
                 S[v1][v2] = S[v1][v2] + acc
                 if v2 < v1:
                     S[v2][v1] = S[v2][v1] + acc
-        L_S = soa.cholesky(S)
+        F_S = soa.ldlt(S)
 
         def kkt_solve(d: ConeField) -> Tuple[ConeField, ConeField]:
             wd = scaling.apply(d)
             rhs = [wd[i] - r[i] for i in range(3)]
             u = soa.matvec(A_inv, rhs)
-            h = soa.cho_solve(L_S, jt_dot(Jc, u))
+            h = soa.ldlt_solve(F_S, jt_dot(Jc, u))
             jh = j_dot(Jc, h)
             ajh = soa.matvec(A_inv, jh)
             dx = [u[i] - ajh[i] for i in range(3)]

@@ -34,6 +34,25 @@ def test_soa_cholesky_and_solve():
                                np.asarray(x_ref), rtol=1e-12, atol=1e-12)
 
 
+def test_soa_ldlt_matches_cholesky_solve():
+    """The division-free LDL^T path (the hot-path factorization) solves
+    the same systems as the Cholesky reference."""
+    key = jax.random.PRNGKey(7)
+    B, n = 64, 6
+    M = _rand_spd(key, n, B)
+    rhs = jax.random.normal(jax.random.PRNGKey(8), (B, n), jnp.float64)
+
+    x_ref = cho_solve_unrolled(cholesky_unrolled(M), rhs)
+    fac = soa.ldlt(_to_smat(M))
+    x = soa.ldlt_solve(fac, [rhs[:, i] for i in range(n)])
+    np.testing.assert_allclose(np.stack([np.asarray(c) for c in x], 1),
+                               np.asarray(x_ref), rtol=1e-11, atol=1e-11)
+    # spd_solve routes through ldlt.
+    x2 = soa.spd_solve(_to_smat(M), [rhs[:, i] for i in range(n)])
+    np.testing.assert_allclose(np.stack([np.asarray(c) for c in x2], 1),
+                               np.asarray(x_ref), rtol=1e-11, atol=1e-11)
+
+
 def test_soa_sort_with_payload_matches_argsort():
     key = jax.random.PRNGKey(2)
     B, n = 128, 8
