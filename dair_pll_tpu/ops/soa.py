@@ -332,9 +332,3 @@ def sort_with_payload(keys: Svec, payloads: List[Svec],
                 p[j - 1] = jnp.where(swap, pb, pa)
                 p[j] = jnp.where(swap, pa, pb)
     return keys, payloads
-
-
-def sort_values(keys: Svec) -> Svec:
-    """Ascending compare-exchange sort of a small list of ``(B,)``."""
-    sorted_keys, _ = sort_with_payload(keys, [])
-    return sorted_keys

@@ -150,7 +150,17 @@ def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
                     S[v2][v1] = S[v2][v1] + acc
         F_S = soa.ldlt(S)
 
-        def kkt_solve(d: ConeField) -> Tuple[ConeField, ConeField]:
+        def kkt_solve(d: ConeField) -> Tuple[ConeField, ConeField,
+                                             ConeField]:
+            """Returns ``(dx, W dx, W^{-1} dz)``.
+
+            ``dz`` is recovered from the scaled complementarity relation
+            ``W^{-1} dz + W dx = d`` instead of the first KKT row
+            ``dz = Q dx + r`` — algebraically identical given the exact
+            Schur solve, but two scaling applies replace a second
+            ``q_dot`` (an F_M back-substitution plus two Jacobian
+            applies), the dominant per-iteration cost after the Schur
+            assembly (cf. the ECOS/conelp recovery)."""
             wd = scaling.apply(d)
             rhs = [wd[i] - r[i] for i in range(3)]
             u = soa.matvec(A_inv, rhs)
@@ -158,33 +168,38 @@ def solve_ipm_mj(M: Smat, Jc: ConeMat, qc: ConeField, eps,
             jh = j_dot(Jc, h)
             ajh = soa.matvec(A_inv, jh)
             dx = [u[i] - ajh[i] for i in range(3)]
-            qdx = q_dot(dx)
-            dz = [qdx[i] + r[i] for i in range(3)]
-            return dx, dz
+            wdx = scaling.apply(dx)
+            wizd = [d[i] - wdx[i] for i in range(3)]
+            return dx, wdx, wizd
 
-        # --- affine (predictor) step
+        # --- affine (predictor) step. All cone bookkeeping runs in NT-
+        # scaled coordinates: W is a cone automorphism, so
+        # ``x + a dx in K  <=>  lam + a W dx in K`` (and z likewise with
+        # W^{-1} dz), and ``<xa, za> = <W xa, W^{-1} za>`` — the scaled
+        # directions are already in hand, the unscaled ``dz`` never needs
+        # materializing here.
         ll = soa_cones.jordan_product(lam, lam)
         d_aff = soa_cones.arrow_solve(lam, [-c for c in ll])
-        dx_aff, dz_aff = kkt_solve(d_aff)
-        alpha_aff = jnp.minimum(_step_to_boundary(x, dx_aff),
-                                _step_to_boundary(z, dz_aff))
-        xa = [x[i] + alpha_aff * dx_aff[i] for i in range(3)]
-        za = [z[i] + alpha_aff * dz_aff[i] for i in range(3)]
-        mu_aff = _gap(xa, za, k)
+        dx_aff, wdx_aff, wizd_aff = kkt_solve(d_aff)
+        alpha_aff = jnp.minimum(_step_to_boundary(lam, wdx_aff),
+                                _step_to_boundary(lam, wizd_aff))
+        la_x = [lam[i] + alpha_aff * wdx_aff[i] for i in range(3)]
+        la_z = [lam[i] + alpha_aff * wizd_aff[i] for i in range(3)]
+        mu_aff = _gap(la_x, la_z, k)
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, _MIN_DET)) ** 3,
                          0.0, 1.0)
 
         # --- corrector step (same Schur factorization)
-        corr = soa_cones.jordan_product(scaling.apply(dx_aff),
-                                        scaling.apply_inverse(dz_aff))
+        corr = soa_cones.jordan_product(wdx_aff, wizd_aff)
         rhs_c = [sigma * mu - ll[0] - corr[0],
                  -ll[1] - corr[1],
                  -ll[2] - corr[2]]
         d = soa_cones.arrow_solve(lam, rhs_c)
-        dx, dz = kkt_solve(d)
+        dx, wdx, wizd = kkt_solve(d)
+        dz = scaling.apply(wizd)
 
         alpha = _STEP_BACKOFF * jnp.minimum(
-            _step_to_boundary(x, dx), _step_to_boundary(z, dz))
+            _step_to_boundary(lam, wdx), _step_to_boundary(lam, wizd))
         converged = mu <= 100.0 * jnp.finfo(dtype).eps * scale
         step_ok = _field_isfinite(dx) & _field_isfinite(dz)
         move = step_ok & ~converged
@@ -268,9 +283,15 @@ def _line_search(M: Smat, Jc: ConeMat, qc: ConeField, eps, w: Svec,
         return a1 + eps * jnp.sum(
             dz[0] * Ddz[0] + dz[1] * Ddz[1] + dz[2] * Ddz[2], axis=0, keepdims=True)
 
-    candidates = soa.sort_values(
-        [jnp.zeros_like(a0)] + _crease_breakpoints(z0, dz) +
-        [jnp.ones_like(a0)])
+    # The SAP primal is convex along the ray (Castro et al. 2022 prove
+    # the regularized cost convex and C^1), so ``g'`` is nondecreasing
+    # and the bracket below — max of candidates with ``g' <= 0``, min
+    # with ``g' > 0`` — is order-independent: no need to sort the crease
+    # breakpoints (a 45-compare-exchange network for 10 candidates in
+    # the round-2 form). The final candidate is the appended alpha=1, so
+    # ``gp[-1]`` is still ``g'(1)`` for the full-step test.
+    candidates = ([jnp.zeros_like(a0)] + _crease_breakpoints(z0, dz) +
+                  [jnp.ones_like(a0)])
     gp = [g_prime(c) for c in candidates]
 
     big = 2.0
