@@ -49,6 +49,39 @@ def project(u: Cone) -> Cone:
     return [n_out, coeff * t1, coeff * t2]
 
 
+def project_and_jacobian_apply(z: Cone, u: Cone) -> Tuple[Cone, Cone]:
+    """Fused ``(P(z), D(z) u)``: one norm/rsqrt/region-mask computation
+    shared between the projection and its Jacobian apply. The SAP line
+    search's safeguarded-Newton polish needs ``g'`` and ``g''`` at the
+    same point every iteration — evaluating :func:`project` and
+    :func:`projection_jacobian_apply` separately recomputes ``|t|``,
+    ``rsqrt``, and the cone-region masks twice (the polish loop is the
+    largest single block of the hybrid solve, cf.
+    ``results/polish_accuracy.json``)."""
+    n, t1, t2 = z
+    sq = jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR)
+    s_inv = lax.rsqrt(sq)
+    s = sq * s_inv
+    in_cone = s <= n
+    in_polar = s <= -n
+    h = 0.5 * (n + s)
+    hos = h * s_inv
+    coeff = jnp.where(in_cone, 1.0, jnp.where(in_polar, 0.0, hos))
+    gamma = [jnp.where(in_cone, n, jnp.where(in_polar, 0.0, h)),
+             coeff * t1, coeff * t2]
+
+    h1, h2 = t1 * s_inv, t2 * s_inv
+    u0, u1, u2 = u
+    hd = h1 * u1 + h2 * u2
+    b0 = 0.5 * (u0 + hd)
+    b1 = 0.5 * u0 * h1 + hos * (u1 - h1 * hd) + 0.5 * h1 * hd
+    b2 = 0.5 * u0 * h2 + hos * (u2 - h2 * hd) + 0.5 * h2 * hd
+    du = [jnp.where(in_cone, u0, jnp.where(in_polar, 0.0, b0)),
+          jnp.where(in_cone, u1, jnp.where(in_polar, 0.0, b1)),
+          jnp.where(in_cone, u2, jnp.where(in_polar, 0.0, b2))]
+    return gamma, du
+
+
 def projection_jacobian_apply(z: Cone, u: Cone) -> Cone:
     """``D(z) u`` matrix-free (cf. ``cones.projection_jacobian_apply``)."""
     n, t1, t2 = z
@@ -75,6 +108,14 @@ def projection_jacobian_apply(z: Cone, u: Cone) -> Cone:
 def projection_jacobian_matrix(z: Cone) -> Smat:
     """Dense per-cone projection Jacobian as a 3x3 ``smat`` (cf.
     ``cones.projection_jacobian_matrix``)."""
+    _, mat = project_and_jacobian_matrix(z)
+    return mat
+
+
+def project_and_jacobian_matrix(z: Cone) -> Tuple[Cone, Smat]:
+    """Fused ``(P(z), D(z))``: the SAP-Newton step needs the projection
+    (for the gradient) and the dense Jacobian (for the Hessian) at the
+    same point — share the norm/rsqrt/region masks between them."""
     n, t1, t2 = z
     sq = jnp.maximum(t1 * t1 + t2 * t2, _SAFE_FLOOR)
     s_inv = lax.rsqrt(sq)
@@ -82,7 +123,12 @@ def projection_jacobian_matrix(z: Cone) -> Smat:
     h1, h2 = t1 * s_inv, t2 * s_inv
     in_cone = s <= n
     in_polar = s <= -n
-    hos = 0.5 * (n + s) * s_inv
+    h = 0.5 * (n + s)
+    hos = h * s_inv
+
+    coeff = jnp.where(in_cone, 1.0, jnp.where(in_polar, 0.0, hos))
+    gamma = [jnp.where(in_cone, n, jnp.where(in_polar, 0.0, h)),
+             coeff * t1, coeff * t2]
 
     one = jnp.ones_like(n)
     zero = jnp.zeros_like(n)
@@ -100,7 +146,7 @@ def projection_jacobian_matrix(z: Cone) -> Smat:
             row.append(jnp.where(in_cone, ident,
                                  jnp.where(in_polar, 0.0, b[i][j])))
         out.append(row)
-    return out
+    return gamma, out
 
 
 def jordan_product(u: Cone, v: Cone) -> Cone:

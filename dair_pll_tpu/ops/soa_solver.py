@@ -277,12 +277,6 @@ def _line_search(M: Smat, Jc: ConeMat, qc: ConeField, eps, w: Svec,
         return a0 + a1 * alpha + eps * jnp.sum(
             dz[0] * gamma[0] + dz[1] * gamma[1] + dz[2] * gamma[2], axis=0, keepdims=True)
 
-    def g_second(alpha):
-        za = [z0[i] + alpha * dz[i] for i in range(3)]
-        Ddz = soa_cones.projection_jacobian_apply(za, dz)
-        return a1 + eps * jnp.sum(
-            dz[0] * Ddz[0] + dz[1] * Ddz[1] + dz[2] * Ddz[2], axis=0, keepdims=True)
-
     # The SAP primal is convex along the ray (Castro et al. 2022 prove
     # the regularized cost convex and C^1), so ``g'`` is nondecreasing
     # and the bracket below — max of candidates with ``g' <= 0``, min
@@ -309,8 +303,17 @@ def _line_search(M: Smat, Jc: ConeMat, qc: ConeField, eps, w: Svec,
 
     def polish(_, state):
         lo, hi, alpha = state
-        gp_a = g_prime(alpha)
-        gpp_a = jnp.maximum(g_second(alpha), 1e-30)
+        # Fused g'/g'' at the same point: one projection pass supplies
+        # both P(za) (for g') and D(za) dz (for g'').
+        za = [z0[i] + alpha * dz[i] for i in range(3)]
+        gamma, ddz = soa_cones.project_and_jacobian_apply(za, dz)
+        gp_a = a0 + a1 * alpha + eps * jnp.sum(
+            dz[0] * gamma[0] + dz[1] * gamma[1] + dz[2] * gamma[2],
+            axis=0, keepdims=True)
+        gpp_a = jnp.maximum(
+            a1 + eps * jnp.sum(
+                dz[0] * ddz[0] + dz[1] * ddz[1] + dz[2] * ddz[2],
+                axis=0, keepdims=True), 1e-30)
         lo = jnp.where(gp_a <= 0.0, alpha, lo)
         hi = jnp.where(gp_a > 0.0, alpha, hi)
         newton = alpha - gp_a / gpp_a
@@ -336,9 +339,9 @@ def sap_newton(M: Smat, Jc: ConeMat, qc: ConeField, eps, iterations: int,
     def newton_step(_, w):
         jw = j_dot(Jc, w)
         z = [-(jw[i] + qc[i]) * inv_eps for i in range(3)]
-        gamma = soa_cones.project(z)
+        # Fused P(z)/D(z): gradient and Hessian share one projection pass.
+        gamma, D = soa_cones.project_and_jacobian_matrix(z)
         grad = soa.vsub(soa.matvec(M, w), jt_dot(Jc, gamma))
-        D = soa_cones.projection_jacobian_matrix(z)     # 3x3 of (k, B)
         DJ = [[D[i][0] * Jc[0][v] + D[i][1] * Jc[1][v] +
                D[i][2] * Jc[2][v] for v in range(n_v)]
               for i in range(3)]

@@ -103,6 +103,24 @@ def test_soa_cone_primitives_match_reference():
         np.stack([np.asarray(g).T for g in got], -1), np.asarray(ref),
         rtol=1e-13, atol=1e-13)
 
+    # fused projection + jacobian forms match the separate primitives
+    gamma_f, du_f = soa_cones.project_and_jacobian_apply(
+        _field(z), _field(v))
+    gamma_s = soa_cones.project(_field(z))
+    du_s = soa_cones.projection_jacobian_apply(_field(z), _field(v))
+    for a, b in zip(gamma_f + du_f, gamma_s + du_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+    gamma_m, mat_f = soa_cones.project_and_jacobian_matrix(_field(z))
+    mat_s = jax.vmap(cones.projection_jacobian_matrix)(z)
+    for a, b in zip(gamma_m, gamma_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.stack([np.stack([np.asarray(mat_f[i][j]).T for j in range(3)],
+                           -1) for i in range(3)], -2),
+        np.asarray(mat_s), rtol=1e-13, atol=1e-13)
+
     # jordan product + arrow solve (interior points for invertibility)
     x = _rand_cones(jax.random.PRNGKey(5), k, B, interior=True)
     ref = jax.vmap(cones.jordan_product)(x, v)
