@@ -194,6 +194,11 @@ def _profile_detail(jax, step, args, batch, throughput, scan_steps=1):
             name = e.get("name", "")
             if is_host(name):
                 continue
+            # Control-flow parents (the epoch lax.scan surfaces as a
+            # "while.N" complete event) CONTAIN their body ops in the
+            # trace — counting them double-counts every child.
+            if name.split(".")[0] in ("while", "conditional", "call"):
+                continue
             ms = e["dur"] / 1e3 / (n_steps * scan_steps)
             # Pallas kernels surface as custom-call ops named after the
             # enclosing jaxpr scope (the fwd kernel traces as "jvp__",
