@@ -57,7 +57,9 @@ from dair_pll_tpu.ops import cones
 from dair_pll_tpu.ops.linear import cholesky_unrolled, cho_solve_unrolled
 
 DEFAULT_NEWTON_ITERATIONS = 10
-_POLISH_STEPS = 8
+# Kept equal to ``soa_solver._POLISH_STEPS`` so the vmapped and SoA
+# paths stay algorithm-identical (results/polish_accuracy.json).
+_POLISH_STEPS = 6
 
 
 def _jt_dot(Jc: Array, u: Array) -> Array:

@@ -36,7 +36,12 @@ ConeMat = List[List[Array]]  # 3 x n_v nested list of (k, B) leaves
 
 _STEP_BACKOFF = 0.99
 _MIN_DET = 1e-30
-_POLISH_STEPS = 8
+# Safeguarded-Newton polish count for the exact line search. Measured on
+# loss-family QPs at f32 vs an f64 (14, 8) reference
+# (results/polish_accuracy.json): 6 is indistinguishable from 8 at every
+# percentile (max 4.5e-3 vs 5.1e-3, f32-noise tails); 5 degrades the max
+# to 2.8e-2 and 4 to 0.56 — do not trim further.
+_POLISH_STEPS = 6
 
 
 def j_dot(Jc: ConeMat, w: Svec) -> ConeField:
