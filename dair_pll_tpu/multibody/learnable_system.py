@@ -50,16 +50,24 @@ CONTACT_FILTER_EPS = 1e6   # phi activation threshold (reference :262-266)
 SOLVER_ITERATIONS = 200    # APGD iteration count (solver="apgd")
 #: Iteration counts for warm-started rollout solves (``warm_start``;
 #: see ``ops/sap_solver.solve_cone_qp_hybrid_warm``). Measured finding
-#: (ROADMAP #3, batched bouncing-cube rollouts at f64): fresh impacts
-#: are genuine cold starts that need the FULL central-path length —
-#: sweeping (ipm, newton) over {(4,4)..(8,8)} leaves O(1) worst-case
-#: step errors at some impact in a 16-toss batch, while (10, 6) is at
-#: machine precision. Warm-starting therefore cannot cut a fixed-count
-#: branchless scan's per-step budget; the carry is kept because it
-#: improves accuracy at equal cost (Newton converges in ~1 iteration on
+#: (round 4, 2976 rollout QPs harvested from batched bouncing-cube
+#: rollouts at f64, refereed by a (30,30) hybrid —
+#: ``results/ipm_convergence.json``, ``scripts/diag_solver_battery.py``
+#: + ``diag_soa_battery.py``): fresh impacts are genuine cold starts
+#: that need the FULL central-path length. At (10, 6) the vmapped AoS
+#: hybrid leaves 1.7e-3 worst-case impulse error on grazing-contact QPs
+#: (phi_min ~ +2e-4) — the round-3 fused-rollout parity failure — while
+#: (14, 6) is machine precision for BOTH the AoS (3e-10) and SoA
+#: (1.5e-9) implementations. Gondzio centrality correctors
+#: (``socp_solver.solve_cone_qp_ipm_mj`` ``correctors=``) recover
+#: (10,6)-cost convergence to ~2e-7 but don't beat plain (14,6) and
+#: aren't implemented in the Pallas kernel, so the shared default stays
+#: corrector-free. Warm-starting cannot cut a fixed-count branchless
+#: scan's per-step budget; the carry is kept because it improves
+#: accuracy at equal cost (Newton converges in ~1 iteration on
 #: persistent-contact steps). Rollout THROUGHPUT wins come from the
 #: fused SoA scan (``simulate_batch``) instead.
-DEFAULT_WARM_IPM_ITERATIONS = 10
+DEFAULT_WARM_IPM_ITERATIONS = 14
 DEFAULT_WARM_NEWTON_ITERATIONS = 6
 #: Default solver. "hybrid" = interior-point warm start + SAP-Newton
 #: polish (machine-precision worst-case on realistic contact QPs, fewer
@@ -116,12 +124,22 @@ class MultibodyLearnableSystem(System):
         super().__init__(space, integrator)
 
     def _solve_contact(self, delassus: Array, M: Array, J: Array,
-                       q_vec: Array, eps) -> Tuple[Array, Array]:
-        """Dispatches the configured cone-QP solver (impulse, valid)."""
+                       q_vec: Array, eps,
+                       budget: Optional[Tuple[int, int]] = None
+                       ) -> Tuple[Array, Array]:
+        """Dispatches the configured cone-QP solver (impulse, valid).
+
+        ``budget`` is an optional ``(ipm, newton)`` iteration-count
+        override: loss-family QPs (eps = 1e-3) converge at the default
+        ``(ipm_iterations, newton_iterations)``, while dynamics-family
+        QPs (eps = 1e-4, grazing impacts along rollouts) need the larger
+        rollout budget — see ``DEFAULT_WARM_IPM_ITERATIONS``.
+        """
         if self.solver == "hybrid":
+            ipm, newton = budget or (self.ipm_iterations,
+                                     self.newton_iterations)
             return solve_contact_impulse_hybrid(
-                delassus, M, J, q_vec, eps, self.ipm_iterations,
-                self.newton_iterations)
+                delassus, M, J, q_vec, eps, ipm, newton)
         return solve_contact_impulse(delassus, q_vec, eps,
                                      self.solver_iterations)
 
@@ -168,7 +186,9 @@ class MultibodyLearnableSystem(System):
 
         impulse, _ = self._solve_contact(
             delassus, M, J, q_full,
-            jnp.asarray(DYNAMICS_EPSILON, phi.dtype))
+            jnp.asarray(DYNAMICS_EPSILON, phi.dtype),
+            budget=(self.warm_ipm_iterations,
+                    self.warm_newton_iterations))
 
         # Contact activation filter (inactive for physical scales, as in
         # the reference where eps = 1e6).

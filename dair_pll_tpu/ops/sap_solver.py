@@ -58,7 +58,11 @@ from dair_pll_tpu.ops.linear import cholesky_unrolled, cho_solve_unrolled
 
 DEFAULT_NEWTON_ITERATIONS = 10
 # Kept equal to ``soa_solver._POLISH_STEPS`` so the vmapped and SoA
-# paths stay algorithm-identical (results/polish_accuracy.json).
+# paths stay algorithm-identical. Evidence for 6: the f32 sweep in
+# results/polish_accuracy.json, AND the f64 machine-precision bounds in
+# tests/test_socp_solver.py (1e-10/1e-9), which were re-verified at
+# polish=6 when the trim landed — the f32-only sweep is not the sole
+# support for the f64 path.
 _POLISH_STEPS = 6
 
 
@@ -328,7 +332,8 @@ def solve_contact_impulse_hybrid(delassus: Array, M: Array, J: Array,
 def solve_cone_qp_hybrid_warm(M: Array, J: Array, q: Array, eps,
                               w_carry: Array,
                               ipm_iterations: int = 10,
-                              newton_iterations: int = 6
+                              newton_iterations: int = 6,
+                              correctors: int = 0
                               ) -> Tuple[Array, Array]:
     """Warm-started hybrid solve for sequential rollouts (ROADMAP #3).
 
@@ -356,7 +361,8 @@ def solve_cone_qp_hybrid_warm(M: Array, J: Array, q: Array, eps,
     from dair_pll_tpu.ops.linear import spd_solve
     from dair_pll_tpu.ops.socp_solver import solve_cone_qp_ipm_mj
     eps = jnp.asarray(eps, q.dtype)
-    x_ipm = solve_cone_qp_ipm_mj(M, J, q, eps, ipm_iterations)
+    x_ipm = solve_cone_qp_ipm_mj(M, J, q, eps, ipm_iterations,
+                                 correctors)
     w_ipm = spd_solve(M, J.T @ x_ipm)
     cost_ipm, _ = _primal_cost(M, J, q, eps, w_ipm)
     cost_carry, _ = _primal_cost(M, J, q, eps, w_carry)

@@ -273,10 +273,11 @@ def solve_cone_qp_ipm(Q: Array, q: Array,
     return x_flat[inv_idx]
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def solve_cone_qp_ipm_mj(M: Array, J: Array, q: Array, eps,
-                         iterations: int = DEFAULT_IPM_ITERATIONS
-                         ) -> Array:
+                         iterations: int = DEFAULT_IPM_ITERATIONS,
+                         correctors: int = 0,
+                         backoff: float = _STEP_BACKOFF) -> Array:
     r"""Fast-path IPM for ``Q = J M^{-1} J^T + eps I``: identical
     algorithm to :func:`solve_cone_qp_ipm` but exploits the Delassus
     structure for TPU-friendly linear algebra.
@@ -302,6 +303,15 @@ def solve_cone_qp_ipm_mj(M: Array, J: Array, q: Array, eps,
         q: ``(3k,)`` cost vector, stacked layout.
         eps: scalar regularization.
         iterations: fixed IPM iteration count.
+        correctors: number of Gondzio-style multiple centrality
+          correctors per iteration. Each reuses the iteration's Schur
+          factorization (one extra ``kkt_solve``, ~15% of the iteration
+          cost) and widens the achievable step by pushing outlier
+          complementarity products back into a band around the target
+          barrier — measured to cut the iterations needed for
+          machine-precision convergence on grazing-contact QPs by ~40%
+          (``results/ipm_convergence.json``).
+        backoff: fraction of the step-to-boundary length taken.
 
     Returns:
         ``(3k,)`` optimal impulse, stacked layout.
@@ -359,14 +369,16 @@ def solve_cone_qp_ipm_mj(M: Array, J: Array, q: Array, eps,
                         axis=(0, 1))
         L_S = cholesky_unrolled(S)
 
-        def kkt_solve(d):
+        def kkt_solve(d, with_r=True):
             """Solves (Q + W^2) dx = W d - r via Woodbury; returns
-            (dx, dz)."""
-            rhs = scaling.apply(d) - r
+            (dx, dz). ``with_r=False`` drops the residual term (used by
+            the extra centrality correctors, which refine an already
+            residual-consistent direction)."""
+            rhs = scaling.apply(d) - r if with_r else scaling.apply(d)
             u = cones.cone_matvec(A_inv, rhs)
             h = cho_solve_unrolled(L_S, jt_dot(u))
             dx = u - cones.cone_matvec(A_inv, j_dot(h))
-            dz = q_dot(dx) + r
+            dz = q_dot(dx) + (r if with_r else 0.0)
             return dx, dz
 
         # --- affine (predictor) step
@@ -386,9 +398,34 @@ def solve_cone_qp_ipm_mj(M: Array, J: Array, q: Array, eps,
             cones.jordan_product(lam, lam) - corr
         d = cones.arrow_solve(lam, rhs_c)
         dx, dz = kkt_solve(d)
-
-        alpha = _STEP_BACKOFF * jnp.minimum(
+        alpha = jnp.minimum(
             cones.step_to_boundary(x, dx), cones.step_to_boundary(z, dz))
+
+        # Gondzio multiple centrality correctors: enlarge the step, clip
+        # the trial complementarity products into [beta_min, beta_max] *
+        # (sigma mu), and solve for the correction that restores them —
+        # accepted only when it widens the actual step (branchless).
+        mu_t = jnp.maximum(sigma * mu, _MIN_DET)
+        for _ in range(correctors):
+            alpha_t = jnp.minimum(1.0, 1.08 * alpha + 0.08)
+            vx = lam + alpha_t * scaling.apply(dx)
+            vz = lam + alpha_t * scaling.apply_inverse(dz)
+            p = cones.jordan_product(vx, vz)
+            t0 = jnp.clip(p[:, :1], 0.1 * mu_t, 10.0 * mu_t) - p[:, :1]
+            t = jnp.concatenate((t0, -p[:, 1:]), axis=-1)
+            d_c = cones.arrow_solve(lam, t)
+            dx_c, dz_c = kkt_solve(d_c, with_r=False)
+            dx_n = dx + dx_c
+            dz_n = dz + dz_c
+            alpha_n = jnp.minimum(cones.step_to_boundary(x, dx_n),
+                                  cones.step_to_boundary(z, dz_n))
+            ok = (alpha_n > alpha) & jnp.all(jnp.isfinite(dx_n)) & \
+                jnp.all(jnp.isfinite(dz_n))
+            dx = jnp.where(ok, dx_n, dx)
+            dz = jnp.where(ok, dz_n, dz)
+            alpha = jnp.where(ok, alpha_n, alpha)
+
+        alpha = backoff * alpha
         converged = mu <= 100.0 * jnp.finfo(dtype).eps * scale
         step_ok = jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(dz))
         move = step_ok & ~converged

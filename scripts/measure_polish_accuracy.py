@@ -1,11 +1,12 @@
 """Accuracy of line-search polish-count trims on realistic loss QPs.
 
 The SAP-Newton exact line search polishes its bracketed root with
-``_POLISH_STEPS`` (=8) safeguarded Newton steps per outer iteration —
+``_POLISH_STEPS`` (=6, trimmed from 8 in round 3 on the strength of
+this measurement) safeguarded Newton steps per outer iteration —
 ~1.2k VPU flops each, the largest single block of the solve after the
 dz-recovery trim. This measures, at f32 on loss-family QPs drawn from
 the bench state distribution, the relative suboptimality of the hybrid
-solve at polish counts {8, 6, 5, 4} against an f64 (14, 8) reference,
+solve at polish counts {8, 6, 5, 4, 3} against an f64 (14, 8) reference,
 to decide whether the fused kernel can run a shorter polish (cf. the
 iteration-count measurements under ROADMAP 0a: the (10, 6) tail is
 f32-noise-dominated, so the floor is f32 rounding, not the algorithm).
@@ -107,6 +108,7 @@ def main():
     out = {"batch": B, "reference": "f64 (14,8)",
            "metric": "relative suboptimality of f32 solve vs f64 ref, "
                      "costs evaluated in f64", "sweeps": {}}
+    default_polish = soa_solver._POLISH_STEPS
     for polish in (8, 6, 5, 4, 3):
         soa_solver._POLISH_STEPS = polish
         f32_solve = jax.jit(functools.partial(
@@ -128,7 +130,7 @@ def main():
         }
         out["sweeps"][f"polish_{polish}"] = stats
         print(f"polish={polish}: {stats}")
-    soa_solver._POLISH_STEPS = 8
+    soa_solver._POLISH_STEPS = default_polish
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "results", "polish_accuracy.json")

@@ -77,6 +77,60 @@ def test_sharded_step_matches_single_device(cube_setup):
                                    rtol=1e-4, atol=1e-7)
 
 
+def test_sharded_grad_matches_and_loss_decreases(cube_setup):
+    """The psum-reduced sharded gradient equals the single-device
+    gradient leaf-for-leaf, and a few sharded steps from a perturbed
+    init strictly decrease the loss (round-3 VERDICT item 6: a dryrun
+    from the true parameters on noiseless data has loss = grad = 0 and
+    cannot catch a wrong collective)."""
+    from jax.sharding import PartitionSpec as P
+
+    from dair_pll_tpu.parallel.sharding import DATA_AXIS, shard_map
+
+    system, true_params, x_past, x_future = cube_setup
+    loss_fn = loss_fn_for(system)
+    params = jax.tree_util.tree_map(lambda a: a * 1.15 + 0.01,
+                                    true_params)
+
+    def mean_loss(p, xp_, xf_):
+        return jnp.mean(loss_fn(p, xp_, xf_))
+
+    g_single = jax.jit(jax.grad(mean_loss))(params, x_past, x_future)
+
+    mesh = make_mesh(jax.devices()[:8])
+
+    def grad_local(p, xp_, xf_):
+        return jax.lax.pmean(jax.grad(mean_loss)(p, xp_, xf_), DATA_AXIS)
+
+    g_sharded = jax.jit(shard_map(
+        grad_local, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P()))(replicate(params, mesh),
+                        shard_batch(x_past, mesh),
+                        shard_batch(x_future, mesh))
+    for a, b in zip(jax.tree_util.tree_leaves(g_sharded),
+                    jax.tree_util.tree_leaves(g_single)):
+        # f32 params: allow reduction-order noise (pmean over 8 shards
+        # vs one flat mean), forbid anything structural.
+        scale = np.abs(np.asarray(b)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=1e-5)
+
+    optimizer = optax.adam(1e-2)
+    step = make_data_parallel_step(loss_fn, optimizer, mesh)
+    p_sh = replicate(params, mesh)
+    s_sh = replicate(optimizer.init(params), mesh)
+    xp_sh = shard_batch(x_past, mesh)
+    xf_sh = shard_batch(x_future, mesh)
+    losses = []
+    for _ in range(5):
+        p_sh, s_sh, loss = step(p_sh, s_sh, xp_sh, xf_sh)
+        losses.append(float(loss))
+    assert losses[0] > 0.0
+    assert losses[-1] < losses[0], losses
+
+
 def test_sharded_rollout_matches(cube_setup):
     system, params, x_past, _ = cube_setup
     x0 = x_past[:, 0, :]
