@@ -254,6 +254,16 @@ def solve_cone_qp_sap_with_state(M: Array, J: Array, q: Array, eps,
     return _sap_newton(M, J, q, eps, iterations, w0)
 
 
+# Minimal budgets, measured (results/ipm_convergence.json, round 4):
+# loss-family QPs (eps = 1e-3) are machine-precision at (10, 6);
+# dynamics-family QPs (eps = 1e-4, grazing impacts) need (14, 6) — see
+# learnable_system.DEFAULT_WARM_IPM_ITERATIONS. Documented NEGATIVE
+# results from the same battery: Newton-only from the IPM init point
+# fails badly even at 16 iterations (p99 rel subopt 3-50 on both
+# families — the central path's active-set discovery is load-bearing,
+# not a warm-start nicety), and short-IPM variants with Gondzio
+# correctors ((8,6)+2corr etc.) trail the plain budgets. Iteration
+# count is therefore NOT the available perf lever for the fused kernel.
 DEFAULT_HYBRID_IPM_ITERATIONS = 10
 DEFAULT_HYBRID_NEWTON_ITERATIONS = 6
 

@@ -27,8 +27,11 @@ from __future__ import annotations
 
 import json
 import os
+import socket
+import socketserver
+import threading
 import time
-from typing import Any, Iterator, Optional, Sequence
+from typing import Any, Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -66,6 +69,161 @@ def global_batch(sharding, local_batch: Any):
     return jax.tree_util.tree_map(
         lambda leaf: jax.make_array_from_process_local_data(
             sharding, np.asarray(leaf)), local_batch)
+
+
+class TrialCoordinatorServer:
+    """Tiny in-memory TCP trial-state server (JSON-lines protocol).
+
+    The genuinely cross-host analogue of the reference's shared optuna
+    RDB server (``/root/reference/dair_pll/study.py:134-148``,
+    ``OPTUNA_SERVER``): one process runs the server, every study worker
+    (on any machine that can reach ``host:port``) connects with
+    :class:`TcpTrialCoordinator` and races to claim trial indices.
+    State is a claim set and a result dict guarded by one lock — trials
+    are coarse (minutes each), so a threaded JSON-line server is far
+    below any contention scale that would matter.
+
+    Protocol (one JSON object per line, one reply per request)::
+
+        {"op": "claim",   "round": r, "trial": t}            -> {"ok": bool}
+        {"op": "publish", "round": r, "trial": t,
+         "payload": {...}}                                   -> {"ok": true}
+        {"op": "fetch",   "round": r, "trials": [t, ...]}    ->
+            {"results": {"t": payload, ...}}   # only finished ones
+        {"op": "ping"}                                       -> {"ok": true}
+    """
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 0) -> None:
+        self._lock = threading.Lock()
+        self._claims: set = set()
+        self._results: Dict[Tuple[int, int], dict] = {}
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                for raw in self.rfile:
+                    line = raw.strip()
+                    if not line:
+                        continue
+                    try:
+                        reply = outer._dispatch(json.loads(line))
+                    except Exception as error:  # malformed request
+                        reply = {"ok": False, "error": str(error)}
+                    self.wfile.write(
+                        (json.dumps(reply) + "\n").encode())
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"{host}:{port}"
+
+    def _dispatch(self, request: dict) -> dict:
+        op = request.get("op")
+        if op == "ping":
+            return {"ok": True}
+        if op == "claim":
+            key = (int(request["round"]), int(request["trial"]))
+            with self._lock:
+                if key in self._claims:
+                    return {"ok": False}
+                self._claims.add(key)
+            return {"ok": True}
+        if op == "publish":
+            key = (int(request["round"]), int(request["trial"]))
+            with self._lock:
+                self._results[key] = request["payload"]
+            return {"ok": True}
+        if op == "fetch":
+            round_index = int(request["round"])
+            with self._lock:
+                results = {
+                    str(trial): self._results[(round_index, int(trial))]
+                    for trial in request["trials"]
+                    if (round_index, int(trial)) in self._results}
+            return {"results": results}
+        return {"ok": False, "error": f"unknown op {op!r}"}
+
+    def start(self) -> str:
+        """Starts serving on a daemon thread; returns ``host:port``."""
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.address
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+
+class TcpTrialCoordinator:
+    """Client for :class:`TrialCoordinatorServer` with the same duck-typed
+    API as :class:`FileTrialCoordinator` (``try_claim`` /
+    ``publish_result`` / ``gather_results`` / ``claim_iter``), so
+    ``Study.optimize_hyperparameters`` works across machines without a
+    shared filesystem."""
+
+    def __init__(self, address: str, timeout_s: float = 30.0) -> None:
+        host, _, port = address.rpartition(":")
+        self.host = host or "127.0.0.1"
+        self.port = int(port)
+        self.timeout_s = timeout_s
+
+    def _rpc(self, request: dict) -> dict:
+        with socket.create_connection((self.host, self.port),
+                                      timeout=self.timeout_s) as conn:
+            conn.sendall((json.dumps(request) + "\n").encode())
+            with conn.makefile("r", encoding="utf-8") as reader:
+                line = reader.readline()
+        if not line:
+            raise ConnectionError(
+                f"trial coordinator at {self.host}:{self.port} closed "
+                "the connection")
+        return json.loads(line)
+
+    def try_claim(self, round_index: int, trial_index: int) -> bool:
+        return bool(self._rpc({"op": "claim", "round": round_index,
+                               "trial": trial_index})["ok"])
+
+    def claim_iter(self, round_index: int,
+                   trial_indices: Sequence[int]) -> Iterator[int]:
+        for index in trial_indices:
+            if self.try_claim(round_index, index):
+                yield index
+
+    def publish_result(self, round_index: int, trial_index: int,
+                       payload: dict) -> None:
+        self._rpc({"op": "publish", "round": round_index,
+                   "trial": trial_index, "payload": payload})
+
+    def gather_results(self, round_index: int,
+                       trial_indices: Sequence[int],
+                       timeout_s: float = 86400.0,
+                       poll_s: float = 0.25) -> dict:
+        deadline = time.time() + timeout_s
+        pending = {int(index) for index in trial_indices}
+        out: dict = {}
+        while pending:
+            fetched = self._rpc({"op": "fetch", "round": round_index,
+                                 "trials": sorted(pending)})["results"]
+            for key, payload in fetched.items():
+                out[int(key)] = payload
+                pending.discard(int(key))
+            if pending:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"trials never finished: {sorted(pending)}")
+                time.sleep(poll_s)
+        return out
 
 
 class FileTrialCoordinator:

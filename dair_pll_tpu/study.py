@@ -64,6 +64,12 @@ class StudyConfig:
           trials, ``study.py:134-148``). Every participating process
           runs ``optimize_hyperparameters`` with the same config/seed;
           trials are claimed atomically, results gathered per rung.
+        coordination_address: optional ``host:port`` of a running
+          :class:`parallel.multiprocess.TrialCoordinatorServer` — the
+          genuinely cross-HOST dispatch mechanism (no shared filesystem
+          needed; the direct analogue of the reference's
+          ``OPTUNA_SERVER`` RDB). Mutually exclusive with
+          ``coordination_dir``.
     """
     experiment_factory: ExperimentFactory
     base_config: SupervisedLearningExperimentConfig
@@ -74,6 +80,7 @@ class StudyConfig:
     seed: int = 0
     sampler: str = "sobol"
     coordination_dir: str = ""
+    coordination_address: str = ""
 
 
 @dataclasses.dataclass
@@ -183,11 +190,20 @@ class Study:
         study_config = self.config
 
         coordinator = None
+        assert not (study_config.coordination_dir and
+                    study_config.coordination_address), (
+            "coordination_dir and coordination_address are mutually "
+            "exclusive")
         if study_config.coordination_dir:
             from dair_pll_tpu.parallel.multiprocess import (
                 FileTrialCoordinator)
             coordinator = FileTrialCoordinator(
                 study_config.coordination_dir)
+        elif study_config.coordination_address:
+            from dair_pll_tpu.parallel.multiprocess import (
+                TcpTrialCoordinator)
+            coordinator = TcpTrialCoordinator(
+                study_config.coordination_address)
 
         if study_config.sampler == "tpe":
             n_explore = max(2, study_config.n_trials // 2)

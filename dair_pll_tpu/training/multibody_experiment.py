@@ -63,6 +63,14 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     loss: MultibodyLosses = MultibodyLosses.PREDICTION_LOSS
     mesh_representation: str = "deep_support_convex"
     fix_inertial_scale: bool = True
+    #: Pin the friction coefficient of environment (plane) geometries.
+    #: Friction enters the dynamics only through the pairwise harmonic
+    #: combination ``2 mu_a mu_b / (mu_a + mu_b)`` (reference
+    #: ``multibody_terms.py:471``; ``multibody/terms.py:96-97``), so
+    #: per-geometry coefficients are unidentifiable along a 1-D manifold
+    #: per pair — pinning the plane's makes the body coefficients
+    #: observable (analogous to ``fix_inertial_scale``).
+    fix_environment_friction: bool = True
     contactnets_multistep: bool = False
 
 
@@ -198,16 +206,25 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
         return videos
 
     def parameter_update_mask(self, params: Any) -> Optional[Any]:
-        """Zeroes the gradient of body 0's inertial-scale coordinate
-        ``theta[0, 0]`` when ``fix_inertial_scale`` is set (see the config
-        docstring)."""
+        """Zeroes the gradients of unidentifiable parameter directions:
+        body 0's inertial-scale coordinate ``theta[0, 0]`` when
+        ``fix_inertial_scale`` is set, and plane-geometry friction
+        coefficients when ``fix_environment_friction`` is set (see the
+        config docstrings)."""
         learnable_config = self.config.learnable_config
         assert isinstance(learnable_config, MultibodyLearnableSystemConfig)
-        if not learnable_config.fix_inertial_scale:
+        if not (learnable_config.fix_inertial_scale or
+                learnable_config.fix_environment_friction):
             return None
         import jax
         mask = jax.tree_util.tree_map(jnp.ones_like, params)
-        mask.theta = mask.theta.at[0, 0].set(0.0)
+        if learnable_config.fix_inertial_scale:
+            mask.theta = mask.theta.at[0, 0].set(0.0)
+        if learnable_config.fix_environment_friction:
+            assert isinstance(self.learned_system, MultibodyLearnableSystem)
+            for g, spec in enumerate(self.learned_system.model.geometries):
+                if spec.geom_type == "plane":
+                    mask.friction = mask.friction.at[g].set(0.0)
         return mask
 
     def generate_updated_urdfs(self, params: Any) -> Dict[str, str]:

@@ -52,6 +52,15 @@ VARIANTS = [
     (6, 4, 2, "(6,4)+2corr"),
     (8, 4, 1, "(8,4)+1corr"),
     (10, 4, 2, "(10,4)+2corr"),
+    # Newton-only (exact-line-search SAP-Newton from the IPM init
+    # point): if the loss family converges without the central path,
+    # the fused kernel can drop 10 sequential IPM iterations.
+    (0, 8, 0, "newton-only (0,8)"),
+    (0, 10, 0, "newton-only (0,10)"),
+    (0, 12, 0, "newton-only (0,12)"),
+    (0, 16, 0, "newton-only (0,16)"),
+    (4, 8, 0, "(4,8)"),
+    (6, 8, 0, "(6,8)"),
 ]
 
 

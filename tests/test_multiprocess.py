@@ -155,6 +155,125 @@ def test_file_trial_coordinator_claims_and_gathers(tmp_path):
     assert results[7]["valid_loss"] == 7.0
 
 
+def test_tcp_trial_coordinator_claims_and_gathers():
+    """Same contract as the file coordinator, over TCP (the cross-HOST
+    mechanism; no shared filesystem)."""
+    import threading
+
+    from dair_pll_tpu.parallel.multiprocess import (TcpTrialCoordinator,
+                                                    TrialCoordinatorServer)
+
+    server = TrialCoordinatorServer(host="127.0.0.1")
+    address = server.start()
+    try:
+        a = TcpTrialCoordinator(address)
+        b = TcpTrialCoordinator(address)
+        indices = list(range(12))
+        wins: dict = {"a": [], "b": []}
+
+        def run(name, coord):
+            for index in coord.claim_iter(0, indices):
+                wins[name].append(index)
+                coord.publish_result(
+                    0, index, {"valid_loss": float(index),
+                               "epochs_run": 2})
+
+        threads = [threading.Thread(target=run, args=("a", a)),
+                   threading.Thread(target=run, args=("b", b))]
+        for thread in threads:
+            thread.start()
+        for thread in threads:
+            thread.join()
+
+        assert sorted(wins["a"] + wins["b"]) == indices
+        results = a.gather_results(0, indices, timeout_s=5.0)
+        assert set(results) == set(indices)
+        assert results[7]["valid_loss"] == 7.0
+        # separate rounds are independent claim spaces
+        assert a.try_claim(1, 0) and not b.try_claim(1, 0)
+    finally:
+        server.shutdown()
+
+
+def test_tcp_trial_coordinator_two_processes():
+    """Two REAL worker processes race to claim trials through the TCP
+    server; every trial is claimed exactly once and each result names
+    its claimant."""
+    from dair_pll_tpu.parallel.multiprocess import (TcpTrialCoordinator,
+                                                    TrialCoordinatorServer)
+
+    server = TrialCoordinatorServer(host="127.0.0.1")
+    address = server.start()
+    script = (
+        "import os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from dair_pll_tpu.parallel.multiprocess import "
+        "TcpTrialCoordinator\n"
+        "coord = TcpTrialCoordinator(%r)\n"
+        "for index in coord.claim_iter(0, range(16)):\n"
+        "    coord.publish_result(0, index, {'pid': os.getpid()})\n"
+        "print('ok')\n" % (REPO, address))
+    try:
+        procs = [subprocess.Popen([sys.executable, "-c", script],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT)
+                 for _ in range(2)]
+        for proc in procs:
+            out, _ = proc.communicate(timeout=120)
+            assert proc.returncode == 0, out.decode(errors="replace")[-2000:]
+        results = TcpTrialCoordinator(address).gather_results(
+            0, range(16), timeout_s=5.0)
+        assert set(results) == set(range(16))
+        assert all("pid" in payload for payload in results.values())
+    finally:
+        server.shutdown()
+
+
+def test_study_with_tcp_coordinator(tmp_path):
+    """The study runs its rung loop through the TCP coordinator
+    (coordination_address) end to end."""
+    from dair_pll_tpu import study as study_mod
+    from dair_pll_tpu.data.config import DataConfig, TrajectorySliceConfig
+    from dair_pll_tpu.hyperparameter import Float, Int
+    from dair_pll_tpu.parallel.multiprocess import TrialCoordinatorServer
+    from dair_pll_tpu.training.config import (
+        OptimizerConfig, SupervisedLearningExperimentConfig)
+
+    calls = []
+
+    class StubExperiment:
+        def __init__(self, config):
+            self.config = config
+
+        def train(self, callback):
+            calls.append(self.config.run_name)
+            lr = float(self.config.optimizer_config.lr.value)
+            return 0.0, abs(np.log10(lr) + 4.0), None
+
+    base = SupervisedLearningExperimentConfig(
+        data_config=DataConfig(dt=0.01,
+                               slice_config=TrajectorySliceConfig()),
+        base_config=None, learnable_config=None,
+        optimizer_config=OptimizerConfig(
+            lr=Float(1e-3, log=True, low=1e-6, high=1e-1),
+            wd=Float(0.0, log=False, low=0.0, high=0.1),
+            patience=4, epochs=4, batch_size=Int(8)),
+        storage=str(tmp_path / "storage"), run_name="stub")
+
+    server = TrialCoordinatorServer(host="127.0.0.1")
+    address = server.start()
+    try:
+        config = study_mod.StudyConfig(
+            experiment_factory=StubExperiment, base_config=base,
+            study_name="tcp_study", n_trials=4, min_epochs=2,
+            coordination_address=address)
+        best = study_mod.Study(config).optimize_hyperparameters()
+        assert "optimizer_config.lr" in best
+        assert calls
+    finally:
+        server.shutdown()
+
+
 def test_study_with_coordinator_single_process(tmp_path, monkeypatch):
     """The study's cross-process rung loop degrades to the serial path
     when one process claims everything (deterministic suggestions)."""
