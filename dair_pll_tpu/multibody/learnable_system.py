@@ -85,6 +85,17 @@ FUSED_LOSS_MIN_BATCH = 2048
 FUSED_ROLLOUT_MIN_BATCH = 1024
 
 
+def _batch_bucket(n_batch: int) -> int:
+    """Rounds a fused-path batch size up to the next power of two.
+
+    Compile-time mitigation (``results/compile_time.json``): the fused
+    SoA graph cold-compiles in minutes per distinct batch shape, so all
+    fused entry points pad to power-of-two buckets — a new workload size
+    then hits the persistent compilation cache instead of recompiling.
+    """
+    return 1 << (n_batch - 1).bit_length()
+
+
 class MultibodyLearnableSystem(System):
     """Differentiable contact-dynamics system with learnable inertia,
     friction, and geometry.
@@ -289,6 +300,13 @@ class MultibodyLearnableSystem(System):
         space = self.space
         dt = self.dt
         flat = x_0.reshape((n_batch, x_0.shape[-1]))
+        # Shape-bucketing: same compile-cache policy as the fused loss.
+        n_padded = _batch_bucket(n_batch)
+        if n_padded != n_batch:
+            fill = jnp.broadcast_to(
+                jnp.asarray(space.zero_state(flat.dtype)),
+                (n_padded - n_batch, flat.shape[-1]))
+            flat = jnp.concatenate((flat, fill), axis=0)
 
         def step(carry, _):
             x, w = carry
@@ -300,8 +318,10 @@ class MultibodyLearnableSystem(System):
             x_next = space.x(q_next, v_plus)
             return (x_next, w), x_next
 
-        w0 = jnp.zeros((n_batch, self.model.n_v), x_0.dtype)
+        w0 = jnp.zeros((n_padded, self.model.n_v), x_0.dtype)
         _, xs = jax.lax.scan(step, (flat, w0), None, length=steps)
+        xs = xs[:, :n_batch]
+        flat = flat[:n_batch]
         trajectory = jnp.concatenate((flat[None], xs), axis=0)
         trajectory = jnp.moveaxis(trajectory, 0, 1)
         return trajectory.reshape(
@@ -433,6 +453,26 @@ class MultibodyLearnableSystem(System):
         if use_fused:
             from dair_pll_tpu.multibody.soa_terms import (
                 soa_contactnets_loss, supports_fused_kernel)
+            # Shape-bucketing (compile-time mitigation): the fused graph
+            # costs minutes to cold-compile PER BATCH SHAPE, so pad the
+            # flattened batch up to the next power of two with a valid
+            # dummy state and slice the padding back off. New workload
+            # sizes then hit the persistent cache at the bucket shape.
+            # Padding rows cost <2x compute worst-case and contribute
+            # nothing: outputs are sliced off, and their gradient
+            # cotangents are exact zeros (jax propagates zero cotangents
+            # to non-selected slice rows).
+            n_padded = _batch_bucket(n_batch)
+            if n_padded != n_batch:
+                pad = n_padded - n_batch
+                x_fill = jnp.broadcast_to(
+                    jnp.asarray(self.space.zero_state(flat_x.dtype)),
+                    (pad, flat_x.shape[-1]))
+                flat_x = jnp.concatenate((flat_x, x_fill), axis=0)
+                flat_xp = jnp.concatenate((flat_xp, x_fill), axis=0)
+                flat_u = jnp.concatenate(
+                    (flat_u, jnp.zeros((pad, flat_u.shape[-1]),
+                                       flat_u.dtype)), axis=0)
             # On TPU, scalar-parameter models run the whole forward
             # (terms + solve + loss) and its backward (in-kernel grad
             # w.r.t. the derived scalars AND the states) as single
@@ -445,11 +485,11 @@ class MultibodyLearnableSystem(System):
                     self.model, params, flat_x, flat_u, flat_xp,
                     self.dt, LOSS_EPSILON, self.ipm_iterations,
                     self.newton_iterations)
-                return losses.reshape(batch_shape)
+                return losses[:n_batch].reshape(batch_shape)
             losses = soa_contactnets_loss(
                 self.model, params, flat_x, flat_u, flat_xp, self.dt,
                 LOSS_EPSILON, self.ipm_iterations, self.newton_iterations)
-            return losses.reshape(batch_shape)
+            return losses[:n_batch].reshape(batch_shape)
 
         delassus, q_vec, M, J, phi, dv = jax.vmap(
             lambda a, b, c: self._contactnets_qp(params, a, b, c))(

@@ -36,8 +36,10 @@ TRUE_MU = 0.15
 @click.option("--schedule", default="cosine")
 @click.option("--eval-period", default=30)
 @click.option("--eval-samples", default=16)
+@click.option("--out", default="cube_mesh_r3.json",
+              help="results/ filename for the artifact")
 def main(storage, epochs, lr, batch_size, schedule, eval_period,
-         eval_samples):
+         eval_samples, out):
     import jax
     if jax.devices()[0].platform == "tpu":
         # TPU-only: this jax's XLA:CPU AOT deserialization is not
@@ -113,7 +115,7 @@ def main(storage, epochs, lr, batch_size, schedule, eval_period,
         "final_statistics_means": means,
         "wall_seconds": round(elapsed, 1),
     }
-    out = os.path.join(REPO_ROOT, "results", "cube_mesh_r3.json")
+    out = os.path.join(REPO_ROOT, "results", out)
     with open(out, "w", encoding="utf-8") as handle:
         json.dump(record, handle, indent=1, default=float)
     click.echo(json.dumps(record["learned"]))
