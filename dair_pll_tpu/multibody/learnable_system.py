@@ -476,8 +476,11 @@ class MultibodyLearnableSystem(System):
             # On TPU, scalar-parameter models run the whole forward
             # (terms + solve + loss) and its backward (in-kernel grad
             # w.r.t. the derived scalars AND the states) as single
-            # VMEM-resident Pallas kernels (ROADMAP 0b).
+            # VMEM-resident Pallas kernels (ROADMAP 0b). The kernel is
+            # f32-only; f64 batches (the loss_dtype precision escape
+            # hatch) stay on the XLA fused SoA path.
             if (jax.default_backend() not in ("cpu",) and
+                    flat_x.dtype == jnp.float32 and
                     supports_fused_kernel(self.model)):
                 from dair_pll_tpu.ops.soa_loss_pallas import (
                     fused_contactnets_loss_kernel)

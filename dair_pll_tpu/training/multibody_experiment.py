@@ -72,6 +72,25 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     #: observable (analogous to ``fix_inertial_scale``).
     fix_environment_friction: bool = True
     contactnets_multistep: bool = False
+    #: Optional dtype the ContactNets loss (and therefore its whole
+    #: backward pass) is computed in, e.g. ``"float64"``. The default
+    #: (``None``) keeps the data dtype (f32 on TPU). The f32 parameter
+    #: gradient carries ~13% median relative noise on harsh states
+    #: (``results/tpu_kernel_parity.json``); this is the precision escape
+    #: hatch for stiffer systems: states and parameters are cast up at
+    #: the loss boundary, so gradients accumulate at f64 and only the
+    #: final cotangent is cast back to the parameter dtype. Requires the
+    #: ``jax_enable_x64`` runtime flag; routes around the f32-only Pallas
+    #: kernel automatically (the XLA fused SoA path supports f64).
+    loss_dtype: Optional[str] = None
+    #: Optional ``(ipm, newton)`` iteration-count override for the
+    #: loss-family cone solves. The default budget (10, 6) stalls at f32
+    #: on a small fraction of hard real-data QPs (~4.7% batch-gradient
+    #: error on real cube tosses, ``results/grad_precision_real_cube.json``);
+    #: (20, 10) cuts that to ~6e-4 at roughly 1.9x solve cost — the
+    #: TPU-native precision/throughput knob (f64 at the default budget is
+    #: exact but needs x64).
+    loss_solver_budget: Optional[Tuple[int, int]] = None
 
 
 class MultibodyLearnableExperiment(SupervisedLearningExperiment):
@@ -109,8 +128,13 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
         model = build_multibody_model(
             learnable_config.urdfs,
             mesh_representation=learnable_config.mesh_representation)
+        solver_kwargs = {}
+        if learnable_config.loss_solver_budget is not None:
+            ipm, newton = learnable_config.loss_solver_budget
+            solver_kwargs = {"ipm_iterations": int(ipm),
+                             "newton_iterations": int(newton)}
         system = MultibodyLearnableSystem(
-            model, self.config.data_config.dt)
+            model, self.config.data_config.dt, **solver_kwargs)
         return system, model.initial_params()
 
     def loss_callback(self):
@@ -126,6 +150,16 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
         multistep = learnable_config.contactnets_multistep
         import jax
 
+        loss_dtype = learnable_config.loss_dtype
+        if loss_dtype is not None:
+            loss_dtype = jnp.dtype(loss_dtype)
+            if (loss_dtype == jnp.float64 and
+                    not jax.config.read("jax_enable_x64")):
+                raise ValueError(
+                    "loss_dtype='float64' requires the jax_enable_x64 "
+                    "runtime flag (jax.config.update('jax_enable_x64', "
+                    "True) before first device use)")
+
         rollout_step = jax.checkpoint(
             lambda p, xb: jax.vmap(lambda xi: system.sim_step(p, xi))(xb))
 
@@ -135,6 +169,18 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
             ``contactnets_multistep`` the loss averages over the whole
             prediction window, each step's preimpact state supplied by
             the model's own (rematerialized) rollout."""
+            if loss_dtype is not None:
+                # Precision escape hatch: cast states and parameters up
+                # at the loss boundary. Gradients then accumulate at
+                # loss_dtype through the whole backward pass; the cast's
+                # transpose returns cotangents in the parameter dtype.
+                cast = lambda leaf: (
+                    leaf.astype(loss_dtype)
+                    if jnp.issubdtype(jnp.asarray(leaf).dtype,
+                                      jnp.floating) else leaf)
+                params = jax.tree_util.tree_map(cast, params)
+                x_past = cast(x_past)
+                x_future = cast(x_future)
             x = x_past[..., -1, :]
             u = jnp.zeros(x.shape[:-1] + (n_u,), x.dtype)
             t_window = x_future.shape[-2] if multistep else 1
