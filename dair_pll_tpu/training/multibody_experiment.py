@@ -86,10 +86,12 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     #: Optional ``(ipm, newton)`` iteration-count override for the
     #: loss-family cone solves. The default budget (10, 6) stalls at f32
     #: on a small fraction of hard real-data QPs (~4.7% batch-gradient
-    #: error on real cube tosses, ``results/grad_precision_real_cube.json``);
-    #: (20, 10) cuts that to ~6e-4 at roughly 1.9x solve cost — the
-    #: TPU-native precision/throughput knob (f64 at the default budget is
-    #: exact but needs x64).
+    #: error on real cube tosses, ``results/grad_precision_real_cube.json``).
+    #: The stall is the Newton-POLISH count, not the IPM count: (10, 10)
+    #: cuts the error to ~6e-4 at ~1.25x solve cost (f32 polish error
+    #: falls smoothly: 6 -> 4.7e-2, 8 -> 3.2e-3, 10 -> 6.2e-4,
+    #: 12 -> 3.4e-4) — the TPU-native precision/throughput knob (f64 at
+    #: the default budget is exact but needs x64).
     loss_solver_budget: Optional[Tuple[int, int]] = None
 
 

@@ -8,17 +8,20 @@ What the ~13% median f32 parameter-gradient noise
    parameter gradient across solver budgets and dtypes against an
    f64 (30,30) referee. Measured on CPU-f64 ahead of this script
    (reproduced here): the noise is NOT f32 arithmetic — it is the
-   (10,6)-budget IPM stalling on a handful of hard real-data QPs.
-   f32 (20,10) reaches ~6e-4 relative error; f64 at the default (10,6)
-   budget is exact (~2e-13): extra precision substitutes for extra
-   iterations near the central path.
+   (10,6)-budget solve stalling on a handful of hard real-data QPs —
+   specifically the Newton-POLISH count (IPM count is irrelevant:
+   (20,6) == (10,6), while (10,10) == (20,10)). f32 polish error falls
+   smoothly (6 -> 4.7e-2, 8 -> 3.2e-3, 10 -> 6.2e-4, 12 -> 3.4e-4);
+   f64 at the default (10,6) budget is exact (~2e-13): extra precision
+   substitutes for extra polish near the cone creases.
 
 2. **Effect on final accuracy (A/B/C training).** Train the full
    real-550 recipe (``cube_real_500epochs_r2.json`` protocol, cosine lr)
-   with three arms — f32 (10,6) default, f32 (20,10)
-   (``loss_solver_budget``, the TPU-native escape hatch), f64 (10,6)
-   (``loss_dtype``, needs x64) — and compare learned physical parameters
-   against ground truth (m 0.37 kg, side 0.1048 m, mu 0.15).
+   with three arms — f32 (10,6) default, f32 (10,10)
+   (``loss_solver_budget``, the TPU-native escape hatch at ~1.25x solve
+   cost), f64 (10,6) (``loss_dtype``, needs x64) — and compare learned
+   physical parameters against ground truth (m 0.37 kg, side 0.1048 m,
+   mu 0.15).
 
 Writes ``results/grad_precision_real_cube.json``.
 
@@ -42,7 +45,7 @@ TRUTH = {"m": 0.37, "side": 0.1048, "mu": 0.15}
 ARMS = {
     # name -> (loss_dtype, loss_solver_budget)
     "f32": (None, None),
-    "f32_budget": (None, (20, 10)),
+    "f32_budget": (None, (10, 10)),
     "f64": ("float64", None),
 }
 
@@ -130,9 +133,9 @@ def main(epochs, batch_size, grad_batch, storage, arms, skip_training,
 
         ref = gradvec(30, 30, True)
         sweep = {}
-        for (ipm, newton, f64) in [(10, 6, False), (14, 6, False),
-                                   (20, 10, False), (30, 30, False),
-                                   (10, 6, True)]:
+        for (ipm, newton, f64) in [(10, 6, False), (10, 8, False),
+                                   (10, 10, False), (12, 12, False),
+                                   (30, 30, False), (10, 6, True)]:
             g = gradvec(ipm, newton, f64)
             name = f"({ipm},{newton}) {'f64' if f64 else 'f32'}"
             sweep[name] = {
