@@ -450,6 +450,10 @@ class MultibodyLearnableSystem(System):
             use_fused = (use_pallas is None and
                          n_batch >= FUSED_LOSS_MIN_BATCH and
                          self.supports_fused_loss())
+        elif use_fused:
+            assert self.supports_fused_loss(), (
+                "use_fused=True forced on a model/solver the fused SoA "
+                "path does not cover (see soa_terms.supports_fused)")
         if use_fused:
             from dair_pll_tpu.multibody.soa_terms import (
                 soa_contactnets_loss, supports_fused_kernel)

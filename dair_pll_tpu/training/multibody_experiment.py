@@ -93,6 +93,14 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     #: 12 -> 3.4e-4) — the TPU-native precision/throughput knob (f64 at
     #: the default budget is exact but needs x64).
     loss_solver_budget: Optional[Tuple[int, int]] = None
+    #: Overrides the fused-SoA-path auto-selection of the ContactNets
+    #: loss (default: fused only at ``n_batch >= FUSED_LOSS_MIN_BATCH``).
+    #: ``True`` forces the fused path at ANY batch size — e.g. the
+    #: reference mesh-cube recipe at batch 256, where the ICNN fused
+    #: path is several times faster per step and the larger cold compile
+    #: amortizes over a full training run. ``False`` forces the vmapped
+    #: path.
+    force_fused_loss: Optional[bool] = None
 
 
 class MultibodyLearnableExperiment(SupervisedLearningExperiment):
@@ -186,12 +194,14 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
             x = x_past[..., -1, :]
             u = jnp.zeros(x.shape[:-1] + (n_u,), x.dtype)
             t_window = x_future.shape[-2] if multistep else 1
+            use_fused = learnable_config.force_fused_loss
             total = system.contactnets_loss_batch(
-                params, x, u, x_future[..., 0, :])
+                params, x, u, x_future[..., 0, :], use_fused=use_fused)
             for t in range(1, t_window):
                 x = rollout_step(params, x)
                 total = total + system.contactnets_loss_batch(
-                    params, x, u, x_future[..., t, :])
+                    params, x, u, x_future[..., t, :],
+                    use_fused=use_fused)
             return total / t_window
 
         return contactnets_loss

@@ -83,9 +83,16 @@ def main():
     parser.add_argument("--storage", default="/tmp/elbow_recovery_storage")
     parser.add_argument("--eval-period", type=int, default=25)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--loss-budget", default=None,
+                        help="ipm,newton loss-solve budget override, "
+                        "e.g. 10,10 (the f32 Newton-polish stall on "
+                        "grazing QPs is worst exactly at wrong-init "
+                        "params; see grad_precision_real_cube.json)")
     parser.add_argument("--out", default=os.path.join(
         REPO, "results", "elbow_recovery.json"))
     args = parser.parse_args()
+    loss_budget = (tuple(int(t) for t in args.loss_budget.split(","))
+                   if args.loss_budget else None)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -148,7 +155,8 @@ def main():
         learnable_config=MultibodyLearnableSystemConfig(
             urdfs={"elbow": wrong_path},
             loss=MultibodyLosses.CONTACTNETS_LOSS,
-            fix_environment_friction=True),
+            fix_environment_friction=True,
+            loss_solver_budget=loss_budget),
         optimizer_config=OptimizerConfig(
             lr=Float(args.lr), wd=Float(0.0), patience=args.epochs,
             epochs=args.epochs, batch_size=Int(256),
@@ -188,6 +196,7 @@ def main():
             "epochs": args.epochs, "n_pop": args.n_pop, "T": T,
             "lr": args.lr, "lr_schedule": "cosine",
             "fix_environment_friction": True,
+            "loss_solver_budget": loss_budget,
             "wrong_init": "friction 2x, mass/inertia 1.5x, boxes 20% small",
         },
         "combined_mu": mu_report,

@@ -38,8 +38,11 @@ TRUE_MU = 0.15
 @click.option("--eval-samples", default=16)
 @click.option("--out", default="cube_mesh_r3.json",
               help="results/ filename for the artifact")
+@click.option("--force-fused", is_flag=True, default=False,
+              help="Force the fused SoA loss path at any batch size "
+              "(the ICNN fast path; VERDICT r3 #3)")
 def main(storage, epochs, lr, batch_size, schedule, eval_period,
-         eval_samples, out):
+         eval_samples, out, force_fused):
     import jax
     if jax.devices()[0].platform == "tpu":
         # TPU-only: this jax's XLA:CPU AOT deserialization is not
@@ -71,7 +74,8 @@ def main(storage, epochs, lr, batch_size, schedule, eval_period,
         base_config=MultibodySystemConfig(urdfs={"cube": urdf}),
         learnable_config=MultibodyLearnableSystemConfig(
             urdfs={"cube": urdf},
-            loss=MultibodyLosses.CONTACTNETS_LOSS),
+            loss=MultibodyLosses.CONTACTNETS_LOSS,
+            force_fused_loss=True if force_fused else None),
         optimizer_config=OptimizerConfig(
             lr=Float(lr), wd=Float(0.0), patience=epochs, epochs=epochs,
             batch_size=Int(batch_size), lr_schedule=schedule),
@@ -101,7 +105,7 @@ def main(storage, epochs, lr, batch_size, schedule, eval_period,
     record = {
         "config": {
             "epochs": epochs, "batch": batch_size, "dt": DT, "lr": lr,
-            "lr_schedule": schedule,
+            "lr_schedule": schedule, "force_fused_loss": force_fused,
             "geometry": "deep_support_convex (ICNN) learned from scratch",
             "dataset": f"{count} real cube tosses", "split": "50/25/25",
         },

@@ -420,6 +420,31 @@ def test_loss_dtype_float64_gradients(cube_training_storage):
     assert losses[-1] < losses[0]
 
 
+def test_force_fused_loss_matches_default(cube_training_storage):
+    """``force_fused_loss=True`` routes small batches through the fused
+    SoA path (the ICNN fast-path knob) and agrees with the vmapped
+    default at f64."""
+    config = make_config(cube_training_storage, "forced_fused_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=1,
+                         full_evaluation_samples=0)
+    experiment = MultibodyLearnableExperiment(config)
+    experiment.setup_training()
+    system = experiment.learned_system
+    params = jax.tree_util.tree_map(
+        lambda leaf: (leaf * 1.1 + 0.01
+                      if jnp.issubdtype(leaf.dtype, jnp.floating)
+                      else leaf), system.model.initial_params(jnp.float64))
+    train_set, _, _ = experiment.data_manager.get_trajectory_sets()
+    past = jnp.asarray(train_set.slices_past[:8], jnp.float64)
+    future = jnp.asarray(train_set.slices_future[:8], jnp.float64)
+
+    default = experiment.loss_callback()(params, past, future)
+    config.learnable_config.force_fused_loss = True
+    forced = experiment.loss_callback()(params, past, future)
+    np.testing.assert_allclose(np.asarray(forced), np.asarray(default),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_loss_solver_budget_plumbs_through(cube_training_storage):
     """``loss_solver_budget`` (the TPU-native gradient-precision knob,
     ``results/grad_precision_real_cube.json``) reaches the learnable
