@@ -91,15 +91,18 @@ def main():
         xpd = x_plus.astype(dtype)
         ud = u.astype(dtype)
 
+        @jax.jit
+        def loss_mean(p):
+            return jnp.mean(system.contactnets_loss_batch(
+                p, xd, ud, xpd, use_fused=False))
+
         def loss_at(mu_link):
             p = true_params
             friction = np.asarray(p.friction, np.float64).copy()
             friction[1:] = mu_link          # geometry 0 = ground plane
             p = dataclasses.replace(p, friction=jnp.asarray(friction))
             p = jax.tree_util.tree_map(lambda a: a.astype(dtype), p)
-            val = system.contactnets_loss_batch(p, xd, ud, xpd,
-                                                use_fused=False)
-            return float(jnp.mean(val))
+            return float(loss_mean(p))
 
         losses = [loss_at(m) for m in mus]
         out["losses"][name] = losses

@@ -88,6 +88,15 @@ def main():
                         "e.g. 10,10 (the f32 Newton-polish stall on "
                         "grazing QPs is worst exactly at wrong-init "
                         "params; see grad_precision_real_cube.json)")
+    parser.add_argument("--protocol", default="toss",
+                        choices=("toss", "sliding"),
+                        help="Initial-condition protocol. 'toss' is the "
+                        "round-3 drop protocol; its exact loss is FLAT "
+                        "in friction beyond mu~0.35 (results/"
+                        "elbow_mu_landscape.json) so mu is weakly "
+                        "identifiable. 'sliding' (drop 0.08 m, "
+                        "v_xy +-3 m/s) sustains sliding contact, which "
+                        "identifies mu.")
     parser.add_argument("--out", default=os.path.join(
         REPO, "results", "elbow_recovery.json"))
     args = parser.parse_args()
@@ -131,13 +140,22 @@ def main():
     true_params = model.initial_params()
     space = base.space
     x_0 = np.array(space.zero_state(jnp.float32))
-    x_0[6] = 0.3
     ranges = np.ones(2 * space.n_v, dtype=np.float32)
     ranges[:3] = 2 * np.pi
     ranges[3:5] = 0.02
-    ranges[5] = 0.05
-    ranges[space.n_v:space.n_v + 3] = 4.0
-    ranges[space.n_v + 3:space.n_v + 6] = 1.0
+    if args.protocol == "sliding":
+        # Sustained sliding contact identifies friction (validated on
+        # CPU: results/elbow_mu_landscape_sliding.json).
+        x_0[6] = 0.08
+        ranges[5] = 0.02
+        ranges[space.n_v:space.n_v + 3] = 2.0
+        ranges[space.n_v + 3:space.n_v + 5] = 3.0
+        ranges[space.n_v + 5] = 0.3
+    else:
+        x_0[6] = 0.3
+        ranges[5] = 0.05
+        ranges[space.n_v:space.n_v + 3] = 4.0
+        ranges[space.n_v + 3:space.n_v + 6] = 1.0
     sampler = UniformSampler(space, jnp.asarray(ranges),
                              x_0=jnp.asarray(x_0))
     generator = ExperimentDatasetGenerator(
@@ -193,6 +211,7 @@ def main():
 
     out = {
         "protocol": {
+            "initial_conditions": args.protocol,
             "epochs": args.epochs, "n_pop": args.n_pop, "T": T,
             "lr": args.lr, "lr_schedule": "cosine",
             "fix_environment_friction": True,
