@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 endgame TPU queue, phase 2 (after run_queue_r4.sh touches
+# /tmp/queue_r4_done): bench cache-warm sanity, the full-budget
+# multistep-vs-onestep comparison (VERDICT r3 #7), and the elbow rerun
+# on the sliding protocol (VERDICT r3 #2 + the identifiability finding,
+# results/elbow_mu_landscape_sliding.json). Strictly serial.
+set -u
+cd /root/repo
+
+while [ ! -f /tmp/queue_r4_done ]; do sleep 30; done
+echo "phase 2 starting $(date)" | tee /tmp/queue_r4b.log
+sleep 60
+
+echo "=== bench.py $(date)" | tee -a /tmp/queue_r4b.log
+timeout 2400 python bench.py > /tmp/bench_r4.log 2>&1
+echo "bench rc=$? $(date)" | tee -a /tmp/queue_r4b.log
+sleep 60
+
+echo "=== multistep 500 epochs $(date)" | tee -a /tmp/queue_r4b.log
+timeout 9000 python scripts/multistep_real_cube.py --epochs 500 \
+  --t-prediction 2 --storage /tmp/multistep_real_cube_r4 \
+  > /tmp/multistep_full.log 2>&1
+echo "multistep rc=$? $(date)" | tee -a /tmp/queue_r4b.log
+sleep 60
+
+echo "=== elbow sliding $(date)" | tee -a /tmp/queue_r4b.log
+timeout 5400 python scripts/elbow_recovery.py --protocol sliding \
+  --epochs 200 --n-pop 128 --loss-budget 10,10 \
+  --storage /tmp/elbow_sliding_storage \
+  --out /root/repo/results/elbow_recovery_sliding.json \
+  > /tmp/elbow_sliding.log 2>&1
+echo "elbow sliding rc=$? $(date)" | tee -a /tmp/queue_r4b.log
+
+touch /tmp/queue_r4b_done
