@@ -67,6 +67,9 @@ DELTA_VELOCITY_SIZE = "delta_v_squared"
 TARGET_NAME = "target_sample"
 PREDICTION_NAME = "prediction_sample"
 AVERAGE_TAG = "mean"
+#: Count of non-finite per-trajectory entries excluded from the
+#: ``_mean`` summary (diverged rollouts under bad parameters).
+DIVERGED_TAG = "n_diverged"
 TRAINING_DURATION = "training_duration"
 EVALUATION_DURATION = "evaluation_duration"
 LOGGING_DURATION = "logging_duration"
@@ -84,6 +87,36 @@ def default_epoch_callback(epoch: int, params: Any, train_loss: float,
                            best_valid_loss: float) -> None:
     """Prints progress (reference ``experiment.py:115-119``)."""
     print(epoch, train_loss, best_valid_loss, flush=True)
+
+
+def summarize_statistics(stats: Dict) -> Dict:
+    """``{key}_mean`` summaries over per-trajectory statistic vectors.
+
+    NaN-robust: a single diverged rollout (non-finite trajectory under
+    bad parameters) must not poison the whole summary mean, so the mean
+    is taken over the finite entries and the number of excluded
+    non-finite entries is reported as ``{key}_n_diverged`` (only when
+    nonzero). Reference summary scheme: ``experiment.py:685-796``.
+    """
+    summary: Dict = {}
+    for key, value in stats.items():
+        if isinstance(value, np.ndarray) and value.ndim == 1 and \
+                value.size:
+            arr = value
+        elif isinstance(value, list) and value and \
+                isinstance(value[0], float):
+            arr = np.asarray(value)
+        else:
+            continue
+        finite = np.isfinite(arr)
+        if bool(finite.all()):
+            summary[f"{key}_{AVERAGE_TAG}"] = float(np.mean(arr))
+        else:
+            summary[f"{key}_{AVERAGE_TAG}"] = (
+                float(np.mean(arr[finite])) if bool(finite.any())
+                else float("nan"))
+            summary[f"{key}_{DIVERGED_TAG}"] = int((~finite).sum())
+    return summary
 
 
 class SupervisedLearningExperiment:
@@ -837,15 +870,7 @@ class SupervisedLearningExperiment:
                     stats[f"{set_name}_{system_name}_{PREDICTION_NAME}"] = [
                         predictions[i][masks[i]] for i in range(n_save)]
 
-        summary = {}
-        for key, value in stats.items():
-            if isinstance(value, np.ndarray) and value.ndim == 1 and \
-                    value.size:
-                summary[f"{key}_{AVERAGE_TAG}"] = float(np.mean(value))
-            elif isinstance(value, list) and value and \
-                    isinstance(value[0], float):
-                summary[f"{key}_{AVERAGE_TAG}"] = float(np.mean(value))
-        stats.update(summary)
+        stats.update(summarize_statistics(stats))
         return stats
 
     def base_and_learned_comparison_summary(self, statistics: Dict,

@@ -15,6 +15,13 @@ while [ ! -f /tmp/queue_r4_done ]; do sleep 30; done
 echo "phase 2 starting $(date)" | tee /tmp/queue_r4b.log
 sleep 60
 
+# Retry of the phase-1 FLOPs/VPU-utilization probe: the first attempt
+# OOM'd scoped VMEM with a (512,1024) block; fixed to (128,1024).
+echo "=== measure_flops retry $(date)" | tee -a /tmp/queue_r4b.log
+timeout 2400 python scripts/measure_flops.py > /tmp/flops2.log 2>&1
+echo "measure_flops rc=$? $(date)" | tee -a /tmp/queue_r4b.log
+sleep 60
+
 echo "=== bench.py $(date)" | tee -a /tmp/queue_r4b.log
 timeout 2400 python bench.py > /tmp/bench_r4.log 2>&1
 echo "bench rc=$? $(date)" | tee -a /tmp/queue_r4b.log

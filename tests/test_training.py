@@ -189,6 +189,32 @@ def test_evaluation_statistics_schema(cube_training_storage):
     assert np.isfinite(stats["valid_model_loss_mean"])
 
 
+def test_summary_statistics_nan_robust():
+    """A diverged (non-finite) rollout must not poison the ``_mean``
+    summary: the mean is over finite entries and the excluded count is
+    reported as ``_n_diverged`` (observed live: one NaN test-split elbow
+    rollout wiped all test_model_* means, results/elbow_recovery.json)."""
+    from dair_pll_tpu.training.experiment import summarize_statistics
+
+    stats = {
+        "test_model_trajectory_mse": np.array([1.0, np.nan, 3.0, np.inf]),
+        "test_model_pos_err": np.array([0.5, 0.25]),
+        "test_model_loss": [2.0, float("nan")],
+        "all_bad": np.array([np.nan, np.nan]),
+        "not_a_vector": np.zeros((2, 2)),
+    }
+    summary = summarize_statistics(stats)
+    assert summary["test_model_trajectory_mse_mean"] == pytest.approx(2.0)
+    assert summary["test_model_trajectory_mse_n_diverged"] == 2
+    assert summary["test_model_pos_err_mean"] == pytest.approx(0.375)
+    assert "test_model_pos_err_n_diverged" not in summary
+    assert summary["test_model_loss_mean"] == pytest.approx(2.0)
+    assert summary["test_model_loss_n_diverged"] == 1
+    assert np.isnan(summary["all_bad_mean"])
+    assert summary["all_bad_n_diverged"] == 2
+    assert "not_a_vector_mean" not in summary
+
+
 def test_per_epoch_evaluation_cadence(cube_training_storage):
     """Per-epoch trajectory evaluation runs every full_evaluation_period
     epochs with full trajectory metrics in the epoch log, and the videos
