@@ -64,22 +64,28 @@ def measure_vpu_peak() -> dict:
 
     from dair_pll_tpu.utils.profiling import device_timeit
 
-    ROWS, COLS = 128, 1024          # (8,128)-aligned VMEM block; the 8
-    #                                 live accumulator chains total 4 MB,
-    #                                 safely under the 16 MB scoped-VMEM
-    #                                 stack limit (a (512,1024) block
-    #                                 OOM'd the scoped allocator at 24 MB)
-    CHAINS = 8                      # independent accumulators
-    STEPS = 1024                    # FMAs per accumulator
-    BLOCKS = 512                    # grid size: ~1.1 TFLOP total, so the
+    ROWS, COLS = 8, 128             # ONE f32 vector register per chain:
+    #                                 accumulators must stay vreg-resident
+    #                                 — a first attempt with (128,1024)
+    #                                 VMEM-array chains measured only
+    #                                 1.55 TF/s because every FMA step
+    #                                 paid a VMEM load+store (the fused
+    #                                 train kernel itself achieves 3.1)
+    CHAINS = 8                      # independent accumulators (ILP)
+    STEPS = 8192                    # FMAs per accumulator per block
+    BLOCKS = 8192                   # grid size: ~1.1 TFLOP total, so the
     #                                 ~30 ms tunnel dispatch is <10% noise
 
     def kernel(x_ref, o_ref):
         x = x_ref[...]
-        accs = [x + jnp.float32(i) for i in range(CHAINS)]
-        for step in range(STEPS):
-            c = jnp.float32(1.0 + 1e-6 * step)
-            accs = [acc * c + x for acc in accs]
+
+        def body(i, accs):
+            c = 1.0 + 1e-9 * i.astype(jnp.float32)
+            return tuple(acc * c + x for acc in accs)
+
+        accs = jax.lax.fori_loop(
+            0, STEPS, body,
+            tuple(x + jnp.float32(i) for i in range(CHAINS)))
         total = accs[0]
         for acc in accs[1:]:
             total = total + acc

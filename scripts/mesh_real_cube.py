@@ -95,6 +95,29 @@ def main(storage, epochs, lr, batch_size, schedule, eval_period,
     best_params, stats = experiment.generate_results(cb)
     elapsed = time.time() - start
 
+    # Wall-time split from the epoch log: the 120-epoch ICNN run is
+    # dominated by overlay-video rendering at evaluation epochs (~150 s
+    # each on this 1-core host) and the first-epoch compile, NOT by the
+    # training loss — record the split so wall_seconds can't be
+    # misattributed to the loss path.
+    split = {"training": 0.0, "evaluation": 0.0, "logging": 0.0}
+    steady = []
+    log_path = os.path.join(storage, "runs", f"mesh_{schedule}",
+                            "log.jsonl")
+    if os.path.exists(log_path):
+        with open(log_path, encoding="utf-8") as handle:
+            for line in handle:
+                row = json.loads(line)
+                split["training"] += row.get("training_duration", 0.0)
+                split["evaluation"] += row.get("evaluation_duration", 0.0)
+                split["logging"] += row.get("logging_duration", 0.0)
+                if row.get("epoch", 0) >= 2 and "training_duration" in row:
+                    steady.append(row["training_duration"])
+    split = {k: round(v, 1) for k, v in split.items()}
+    if steady:
+        split["steady_state_train_s_per_epoch"] = round(
+            sum(steady) / len(steady), 4)
+
     means = {k: float(v) for k, v in sorted(stats.items())
              if k.endswith("_mean")}
     scalars = experiment.learned_system.summary(best_params, {}).scalars
@@ -118,6 +141,7 @@ def main(storage, epochs, lr, batch_size, schedule, eval_period,
         },
         "final_statistics_means": means,
         "wall_seconds": round(elapsed, 1),
+        "wall_seconds_split": split,
     }
     out = os.path.join(REPO_ROOT, "results", out)
     with open(out, "w", encoding="utf-8") as handle:
