@@ -42,6 +42,10 @@ class OptimizerConfig:
     batch_size: Int = dataclasses.field(default_factory=lambda: Int(64))
     lr_schedule: str = "constant"
     cosine_alpha: float = 0.1
+    #: Global-norm gradient clip (0 = off). Stabilizes wrong-init
+    #: training on high-energy data protocols (e.g. sliding-rich elbow
+    #: tosses), where the first epochs' gradients overwhelm Adam.
+    grad_clip: float = 0.0
 
     def __post_init__(self):
         assert self.lr_schedule in ("constant", "cosine")

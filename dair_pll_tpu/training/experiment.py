@@ -89,6 +89,48 @@ def default_epoch_callback(epoch: int, params: Any, train_loss: float,
     print(epoch, train_loss, best_valid_loss, flush=True)
 
 
+def _zero_nonfinite() -> "optax.GradientTransformation":
+    """Replaces NaN/inf gradient entries with 0 before they can poison
+    Adam's moment estimates (one inf gradient makes ``v`` inf and every
+    later update NaN — the parameters never recover)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0,
+                                     neginf=0.0), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(config, lr) -> "optax.GradientTransformation":
+    """Adam(W) with optional gradient sanitization + clipping.
+
+    ``config.grad_clip > 0`` chains (1) zero-out of non-finite gradient
+    entries and (2) ``optax.clip_by_global_norm`` in front of the
+    optimizer. Note Adam is invariant to uniform gradient scaling, so
+    the clip does not shrink well-behaved steps — the chain is a safety
+    net for high-energy data protocols whose early wrong-parameter
+    batches produce inf/NaN gradients (observed: sliding-rich elbow
+    tosses diverged to non-finite parameters within one epoch).
+    ``lr`` may be a float or an optax schedule.
+    """
+    wd = config.wd.value
+    optimizer = optax.adamw(lr, weight_decay=wd) if wd > 0 else \
+        optax.adam(lr)
+    if config.grad_clip > 0.0:
+        optimizer = optax.chain(
+            _zero_nonfinite(),
+            optax.clip_by_global_norm(config.grad_clip),
+            optimizer)
+    return optimizer
+
+
 def summarize_statistics(stats: Dict) -> Dict:
     """``{key}_mean`` summaries over per-trajectory statistic vectors.
 
@@ -268,8 +310,7 @@ class SupervisedLearningExperiment:
             lr = optax.cosine_decay_schedule(
                 lr, decay_steps=steps,
                 alpha=config.optimizer_config.cosine_alpha)
-        optimizer = optax.adamw(lr, weight_decay=wd) if wd > 0 else \
-            optax.adam(lr)
+        optimizer = build_optimizer(config.optimizer_config, lr)
 
         if state is None:
             params = init_params

@@ -97,9 +97,16 @@ def main():
                         "identifiable. 'sliding' (drop 0.08 m, "
                         "v_xy +-3 m/s) sustains sliding contact, which "
                         "identifies mu.")
+    parser.add_argument("--grad-clip", type=float, default=None,
+                        help="Global-norm gradient clip (default: 1.0 "
+                        "for the sliding protocol — its high-energy "
+                        "tosses diverge to non-finite params within one "
+                        "epoch at lr=1e-3 unclipped — else off)")
     parser.add_argument("--out", default=os.path.join(
         REPO, "results", "elbow_recovery.json"))
     args = parser.parse_args()
+    if args.grad_clip is None:
+        args.grad_clip = 1.0 if args.protocol == "sliding" else 0.0
     loss_budget = (tuple(int(t) for t in args.loss_budget.split(","))
                    if args.loss_budget else None)
 
@@ -178,7 +185,7 @@ def main():
         optimizer_config=OptimizerConfig(
             lr=Float(args.lr), wd=Float(0.0), patience=args.epochs,
             epochs=args.epochs, batch_size=Int(256),
-            lr_schedule="cosine"),
+            lr_schedule="cosine", grad_clip=args.grad_clip),
         full_evaluation_period=args.eval_period,
         full_evaluation_samples=5,
         storage=args.storage, run_name="elbow_recovery",
@@ -214,6 +221,7 @@ def main():
             "initial_conditions": args.protocol,
             "epochs": args.epochs, "n_pop": args.n_pop, "T": T,
             "lr": args.lr, "lr_schedule": "cosine",
+            "grad_clip": args.grad_clip,
             "fix_environment_friction": True,
             "loss_solver_budget": loss_budget,
             "wrong_init": "friction 2x, mass/inertia 1.5x, boxes 20% small",

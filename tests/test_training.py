@@ -189,6 +189,48 @@ def test_evaluation_statistics_schema(cube_training_storage):
     assert np.isfinite(stats["valid_model_loss_mean"])
 
 
+def test_grad_clip_sanitizes_poisoned_gradients():
+    """OptimizerConfig.grad_clip chains non-finite zero-out +
+    clip_by_global_norm in front of Adam: one NaN/inf batch gradient
+    must not poison the moments (the sliding-protocol elbow diverged to
+    non-finite parameters within one epoch without this)."""
+    import optax
+
+    from dair_pll_tpu.training.config import OptimizerConfig
+    from dair_pll_tpu.training.experiment import build_optimizer
+
+    config = OptimizerConfig(lr=Float(1e-2), wd=Float(0.0),
+                             grad_clip=1.0)
+    optimizer = build_optimizer(config, config.lr.value)
+    params = {"a": jnp.zeros(3), "b": jnp.zeros(2)}
+    state = optimizer.init(params)
+
+    poisoned = {"a": jnp.asarray([jnp.nan, jnp.inf, 1e30]),
+                "b": jnp.asarray([-jnp.inf, 2.0])}
+    updates, state = optimizer.update(poisoned, state, params)
+    for leaf in jax.tree_util.tree_leaves(updates):
+        assert np.isfinite(np.asarray(leaf)).all(), updates
+    params = optax.apply_updates(params, updates)
+
+    # A later well-behaved step still produces a sane Adam update.
+    clean = {"a": jnp.asarray([1.0, -1.0, 0.5]),
+             "b": jnp.asarray([0.1, -0.2])}
+    updates, state = optimizer.update(clean, state, params)
+    for leaf in jax.tree_util.tree_leaves(updates):
+        arr = np.asarray(leaf)
+        assert np.isfinite(arr).all() and (np.abs(arr) <= 1.1e-2).all()
+
+    # Unclipped Adam is poisoned by the same gradient: documents WHY
+    # the sanitize chain exists.
+    plain = build_optimizer(
+        OptimizerConfig(lr=Float(1e-2), wd=Float(0.0), grad_clip=0.0),
+        1e-2)
+    pstate = plain.init(params)
+    updates, pstate = plain.update(poisoned, pstate, params)
+    bad = np.asarray(jax.tree_util.tree_leaves(updates)[0])
+    assert not np.isfinite(bad).all()
+
+
 def test_summary_statistics_nan_robust():
     """A diverged (non-finite) rollout must not poison the ``_mean``
     summary: the mean is over finite entries and the excluded count is
