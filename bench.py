@@ -26,11 +26,11 @@ def main():
 
     # Persistent compilation cache: the fused SoA training step takes
     # ~10 min to compile cold on the tunneled TPU; cache across runs.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # (Gated off on CPU — XLA:CPU AOT reload segfaults, see CLAUDE.md.)
+    from dair_pll_tpu.utils.cache import enable_compilation_cache
+    if enable_compilation_cache():
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 10.0)
 
     import jax.numpy as jnp
     import optax

@@ -20,10 +20,9 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
+
+    from dair_pll_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from dair_pll_tpu.assets import get_asset

@@ -111,8 +111,9 @@ def main():
                    if args.loss_budget else None)
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+
+    from dair_pll_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

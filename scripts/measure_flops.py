@@ -108,8 +108,9 @@ def measure_vpu_peak() -> dict:
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+
+    from dair_pll_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from dair_pll_tpu.assets import get_asset

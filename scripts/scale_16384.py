@@ -28,10 +28,9 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
+
+    from dair_pll_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -14,11 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from dair_pll_tpu.utils.cache import enable_compilation_cache
+    if enable_compilation_cache():
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
     import optax
 
