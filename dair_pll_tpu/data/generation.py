@@ -41,6 +41,16 @@ class DataGenerationConfig:
           each step.
         noiser_kind: "gaussian" or "uniform".
         seed: PRNG seed.
+        max_velocity: if set, trajectories whose velocity coordinates
+          ever exceed this bound in absolute value (or go non-finite)
+          are REJECTED and resampled. Extension beyond the reference
+          (whose Drake rollouts are robust): batched f32 contact
+          rollouts can blow up on rare high-energy initial conditions
+          (per-sample solver-failure masking zeroes impulses for one
+          step, letting bodies interpenetrate), and one diverged
+          trajectory poisons every training batch it lands in — the
+          round-4 sliding-elbow protocol saw ``v^2 ~ 1e26`` samples
+          drive training to select the initial parameters.
     """
     dt: float = 1e-3
     n_pop: int = 16384
@@ -49,11 +59,13 @@ class DataGenerationConfig:
     dynamic_noise: Optional[np.ndarray] = None
     noiser_kind: str = "gaussian"
     seed: int = 0
+    max_velocity: Optional[float] = None
 
     def __post_init__(self):
         assert self.dt > 0
         assert self.n_pop > 0
         assert self.trajectory_length > 0
+        assert self.max_velocity is None or self.max_velocity > 0
 
 
 class ExperimentDatasetGenerator:
@@ -69,9 +81,19 @@ class ExperimentDatasetGenerator:
         self.sampler = sampler
         self.params = params
         self.config = config
+        #: Trajectories rejected by the ``max_velocity`` divergence
+        #: filter during the last :meth:`generate` call.
+        self.last_rejected = 0
 
     def generate(self, storage: str, batch_size: int = 256) -> int:
         """Fills the storage tree up to ``n_pop`` trajectories.
+
+        With ``config.max_velocity`` set, diverged rollouts are dropped
+        and their slots resampled (rejection count in
+        :attr:`last_rejected`); generation aborts if the acceptance
+        rate collapses below 5% (the sampler is then drawing from a
+        regime the simulator cannot integrate — widen ``dt`` or narrow
+        the sampler instead of filtering harder).
 
         Returns:
             Number of newly generated trajectories.
@@ -83,17 +105,38 @@ class ExperimentDatasetGenerator:
                                       file_utils.GROUND_TRUTH_SUBDIR)))
         key = jax.random.PRNGKey(config.seed + existing)
         generated = 0
+        self.last_rejected = 0
         index = existing
         while index < config.n_pop:
-            n_new = min(batch_size, config.n_pop - index)
+            # Always simulate full batch_size batches — a remainder (or
+            # post-rejection refill) shape would recompile the batched
+            # rollout (minutes per shape on TPU); surplus rows are
+            # simply not saved.
             key, init_key, noise_key = jax.random.split(key, 3)
-            x_0 = self.sampler.get_samples(init_key, n_new)
+            x_0 = self.sampler.get_samples(init_key, batch_size)
             ground_truth = self.system.simulate_batch(
                 self.params, x_0, config.trajectory_length - 1)
             noised = self.make_noised_trajectories(
                 noise_key, ground_truth)
             ground_truth = np.asarray(ground_truth)
             noised = np.asarray(noised)
+            if config.max_velocity is not None:
+                velocity = ground_truth[..., space.n_q:]
+                keep = (np.isfinite(ground_truth).all(axis=(1, 2)) &
+                        (np.abs(velocity) <=
+                         config.max_velocity).all(axis=(1, 2)))
+                self.last_rejected += int(batch_size - keep.sum())
+                ground_truth = ground_truth[keep]
+                noised = noised[keep]
+                if self.last_rejected > 19 * max(
+                        generated + ground_truth.shape[0], batch_size):
+                    raise RuntimeError(
+                        f"dataset generation rejected "
+                        f"{self.last_rejected} trajectories against "
+                        f"{generated + ground_truth.shape[0]} accepted "
+                        f"(max_velocity={config.max_velocity}); the "
+                        f"sampled regime is not integrable at this dt")
+            n_new = min(ground_truth.shape[0], config.n_pop - index)
             for row in range(n_new):
                 file_utils.save_trajectory(
                     storage, file_utils.GROUND_TRUTH_SUBDIR, index,

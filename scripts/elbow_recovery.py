@@ -166,12 +166,19 @@ def main():
         ranges[space.n_v + 3:space.n_v + 6] = 1.0
     sampler = UniformSampler(space, jnp.asarray(ranges),
                              x_0=jnp.asarray(x_0))
+    # max_velocity: the sliding sampler draws |v| <= ~3.7; physical
+    # bounces stay within a few x that, while the rare diverged f32
+    # rollouts shoot past 1e6 (they poisoned the first sliding runs:
+    # train_v_plus_squared_mean ~ 6e26 drove model selection back to
+    # the initial parameters).
     generator = ExperimentDatasetGenerator(
         base, sampler, true_params,
         DataGenerationConfig(dt=DT, n_pop=args.n_pop, trajectory_length=T,
-                             static_noise=None, dynamic_noise=None))
+                             static_noise=None, dynamic_noise=None,
+                             max_velocity=50.0))
     generated = generator.generate(args.storage)
-    print(f"generated {generated} trajectories")
+    print(f"generated {generated} trajectories "
+          f"({generator.last_rejected} diverged rollouts rejected)")
 
     config = SupervisedLearningExperimentConfig(
         data_config=DataConfig(

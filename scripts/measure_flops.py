@@ -71,16 +71,23 @@ def measure_vpu_peak() -> dict:
     #                                 1.55 TF/s because every FMA step
     #                                 paid a VMEM load+store (the fused
     #                                 train kernel itself achieves 3.1)
-    CHAINS = 8                      # independent accumulators (ILP)
-    STEPS = 8192                    # FMAs per accumulator per block
+    CHAINS = 32                     # independent accumulators (ILP). 8
+    #                                 chains measured only 1.68 TF/s —
+    #                                 less than the fused train kernel's
+    #                                 achieved 3.06 — i.e. not enough
+    #                                 in-flight FMAs to cover the FMA
+    #                                 latency x issue width product.
+    STEPS = 2048                    # FMAs per accumulator per block
     BLOCKS = 8192                   # grid size: ~1.1 TFLOP total, so the
     #                                 ~30 ms tunnel dispatch is <10% noise
 
     def kernel(x_ref, o_ref):
         x = x_ref[...]
+        c = jnp.float32(1.0 + 1e-9)  # loop-invariant multiplier: keep
+        #                              the body pure vector FMAs
 
         def body(i, accs):
-            c = 1.0 + 1e-9 * i.astype(jnp.float32)
+            del i
             return tuple(acc * c + x for acc in accs)
 
         accs = jax.lax.fori_loop(
@@ -144,6 +151,12 @@ def main():
         "flops_per_transition_train": flops_train,
         "method": "XLA cost_analysis of the XLA-backend fused SoA path "
                   "(same algebra the Pallas kernel runs in-kernel)",
+        "caveat": "cost_analysis weights every scalar op (incl. "
+                  "transcendentals) as one flop and counts the XLA "
+                  "graph, not the Mosaic-optimized kernel, so "
+                  "'achieved FLOP/s' is an op-throughput proxy; the "
+                  "utilization fraction compares it against a pure-FMA "
+                  "probe ceiling.",
     }
 
     peak = None

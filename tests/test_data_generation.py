@@ -64,6 +64,77 @@ def test_generate_and_noise(tmp_path, cube_system):
     assert generator.generate(str(tmp_path)) == 0
 
 
+class _DivergingStub:
+    """Fake system: half of each batch's rows fly off to 1e8 velocity
+    (the f32 contact-rollout blowup mode the max_velocity filter exists
+    for), with the diverging half rotating across calls so resampling
+    eventually fills the population."""
+
+    def __init__(self, space):
+        self.space = space
+        self.calls = 0
+
+    def simulate_batch(self, params, x_0, steps):
+        del params
+        self.calls += 1
+        n = x_0.shape[0]
+        base = jnp.broadcast_to(x_0[:, None, :],
+                                (n, steps + 1, x_0.shape[-1]))
+        diverged = ((jnp.arange(n) + self.calls) % 2 == 0)[:, None, None]
+        blowup = base.at[..., self.space.n_q:].set(1e8)
+        return jnp.where(diverged, blowup, base)
+
+
+def test_max_velocity_filter_rejects_diverged(tmp_path, cube_system):
+    system, params = cube_system
+    space = system.space
+    x_0 = np.array(space.zero_state(jnp.float64))
+    x_0[6] = 0.2
+    sampler = UniformSampler(space,
+                             jnp.asarray(0.1 * np.ones(2 * space.n_v)),
+                             x_0=jnp.asarray(x_0))
+    config = DataGenerationConfig(dt=DT, n_pop=5, trajectory_length=8,
+                                  max_velocity=100.0)
+    generator = ExperimentDatasetGenerator(
+        _DivergingStub(space), sampler, params, config)
+    generated = generator.generate(str(tmp_path), batch_size=4)
+    assert generated == 5
+    assert generator.last_rejected >= 5  # half of every batch rejected
+
+    gt_paths = file_utils.list_trajectories(
+        file_utils.trajectory_dir(str(tmp_path),
+                                  file_utils.GROUND_TRUTH_SUBDIR))
+    assert len(gt_paths) == 5
+    for path in gt_paths:
+        trajectory = file_utils.load_trajectory(path)
+        assert np.isfinite(trajectory).all()
+        assert (np.abs(trajectory[:, space.n_q:]) <= 100.0).all()
+
+
+def test_max_velocity_filter_aborts_on_unintegrable_regime(
+        tmp_path, cube_system):
+    """If (almost) every rollout diverges, generation must raise rather
+    than loop forever."""
+    system, params = cube_system
+    space = system.space
+
+    class _AllDiverge(_DivergingStub):
+        def simulate_batch(self, params, x_0, steps):
+            out = super().simulate_batch(params, x_0, steps)
+            return out.at[..., space.n_q:].set(jnp.inf)
+
+    sampler = UniformSampler(space,
+                             jnp.asarray(0.1 * np.ones(2 * space.n_v)),
+                             x_0=jnp.asarray(space.zero_state(
+                                 jnp.float64)))
+    config = DataGenerationConfig(dt=DT, n_pop=4, trajectory_length=8,
+                                  max_velocity=100.0)
+    generator = ExperimentDatasetGenerator(
+        _AllDiverge(space), sampler, params, config)
+    with pytest.raises(RuntimeError, match="not integrable"):
+        generator.generate(str(tmp_path), batch_size=4)
+
+
 def test_noise_actually_applied(tmp_path, cube_system):
     system, params = cube_system
     space = system.space
