@@ -75,6 +75,23 @@ DEFAULT_WARM_NEWTON_ITERATIONS = 6
 #: matches the algorithm class of the reference's sappy (Newton-type SAP,
 #: reference multibody_learnable_system.py:179-184).
 DEFAULT_SOLVER = "hybrid"
+#: Reduced (ipm, newton) budget for EPOCH-WARM loss solves
+#: (:meth:`MultibodyLearnableSystem.contactnets_loss_batch_warm`):
+#: between epochs the parameters move by one optimizer step, so the
+#: previous epoch's impulse is a near-solution. Chosen by the real-data
+#: battery ``scripts/warm_loss_battery.py``
+#: (``results/warm_loss_battery.json``): (0, 10) — pure SAP-Newton from
+#: the carried impulse, NO central path — matches the cold (10, 6)
+#: production budget's gradient accuracy vs an f64 (30, 30) referee
+#: (rel-l2 0.044-0.067 vs cold's 0.054-0.071) at ~2.5x less solve work.
+#: Budgets with newton < 10 leave catastrophic per-sample tails (the
+#: carried iterate lands near cone creases where a short f32 polish
+#: stalls: (0,8) rel-l2 up to 0.24, (2,6) up to 7.9), and SHORT central
+#: paths are worse than none — at ipm=2 the primal-cost selection
+#: sometimes prefers a barely-centered IPM iterate over the carry, and
+#: Newton polishes it into a worse basin ((2,8) rel-l2 0.38-0.80 vs
+#: (0,8)'s 0.10-0.24, (2,10) 0.077-0.091 vs (0,10)'s 0.044-0.067).
+DEFAULT_LOSS_WARM_BUDGET = (0, 10)
 #: Flattened batch size above which the batched ContactNets loss
 #: auto-routes to the fused batch-minor SoA path (``multibody/soa_terms``).
 FUSED_LOSS_MIN_BATCH = 2048
@@ -533,6 +550,75 @@ class MultibodyLearnableSystem(System):
         losses = jax.vmap(self._contactnets_loss_given_force)(
             delassus, q_vec, M, phi, dv, force, valid)
         return losses.reshape(batch_shape)
+
+    def contactnets_loss_batch_warm(
+            self, params: MultibodyParams, x: Array, u: Array,
+            x_plus: Array, force_prev: Array,
+            budget: Optional[Tuple[int, int]] = None
+            ) -> Tuple[Array, Array]:
+        """Epoch-warm-started batched ContactNets loss.
+
+        Training revisits every sample each epoch with parameters moved
+        by only one optimizer step, so the previous epoch's impulse is a
+        near-solution: the hybrid solve warm-starts from it
+        (``ops/soa_solver.solve_warm_hybrid_soa``) at the reduced
+        ``budget`` (default ``DEFAULT_LOSS_WARM_BUDGET``), cutting the
+        solve cost without losing gradient accuracy
+        (``results/warm_loss_battery.json``).
+
+        ``force_prev`` is the ``(3, k, n_batch)`` stacked impulse cache
+        (zeros == cold samples — the in-solver primal-cost selection
+        routes those to the short IPM iterate). Returns
+        ``(loss (*batch,), force (3, k, n_batch))`` with ``force`` the
+        detached refreshed cache. Requires ``supports_fused_loss()``;
+        epoch 0 / resume should run the cold
+        :meth:`contactnets_loss_batch` (full budget) to fill the cache.
+        """
+        assert self.supports_fused_loss(), (
+            "warm loss requires the fused SoA path "
+            "(see soa_terms.supports_fused)")
+        ipm, newton = budget or DEFAULT_LOSS_WARM_BUDGET
+        batch_shape = x.shape[:-1]
+        n_batch = int(np.prod(batch_shape)) if batch_shape else 1
+        flat_x = x.reshape((n_batch, x.shape[-1]))
+        flat_u = u.reshape((n_batch, u.shape[-1]))
+        flat_xp = x_plus.reshape((n_batch, x_plus.shape[-1]))
+        force_prev = force_prev.reshape((3, -1, n_batch))
+
+        n_padded = _batch_bucket(n_batch)
+        if n_padded != n_batch:
+            pad = n_padded - n_batch
+            x_fill = jnp.broadcast_to(
+                jnp.asarray(self.space.zero_state(flat_x.dtype)),
+                (pad, flat_x.shape[-1]))
+            flat_x = jnp.concatenate((flat_x, x_fill), axis=0)
+            flat_xp = jnp.concatenate((flat_xp, x_fill), axis=0)
+            flat_u = jnp.concatenate(
+                (flat_u, jnp.zeros((pad, flat_u.shape[-1]),
+                                   flat_u.dtype)), axis=0)
+            force_prev = jnp.concatenate(
+                (force_prev, jnp.zeros(force_prev.shape[:-1] + (pad,),
+                                       force_prev.dtype)), axis=-1)
+
+        from dair_pll_tpu.multibody.soa_terms import (
+            soa_contactnets_loss_warm, supports_fused_kernel)
+        if (jax.default_backend() not in ("cpu",) and
+                flat_x.dtype == jnp.float32 and
+                supports_fused_kernel(self.model)):
+            from dair_pll_tpu.ops.soa_loss_pallas import (
+                fused_contactnets_loss_kernel_warm)
+            losses, force = fused_contactnets_loss_kernel_warm(
+                self.model, params, flat_x, flat_u, flat_xp, self.dt,
+                LOSS_EPSILON, ipm, newton, force_prev)
+        else:
+            losses, force_field, _ = soa_contactnets_loss_warm(
+                self.model, params, flat_x, flat_u, flat_xp, self.dt,
+                LOSS_EPSILON, ipm, newton,
+                [force_prev[i] for i in range(3)],
+                solver_backend="xla")
+            force = jnp.stack(force_field)
+        return (losses[:n_batch].reshape(batch_shape),
+                jax.lax.stop_gradient(force[..., :n_batch]))
 
     # -- logging ----------------------------------------------------------------
     def summary(self, params: MultibodyParams,

@@ -793,3 +793,71 @@ def soa_contactnets_loss(model: MultibodyModel, params: MultibodyParams,
     # reductions; flatten so the promised (B,) contract actually holds
     # for direct callers (not just the batch_shape-reshaping caller).
     return loss.reshape(-1)
+
+
+def soa_contactnets_loss_warm(model: MultibodyModel,
+                              params: MultibodyParams, x: Array,
+                              u: Array, x_plus: Array, dt: float,
+                              loss_epsilon: float, ipm_iterations: int,
+                              newton_iterations: int, force_prev,
+                              solver_backend: str = "auto"
+                              ) -> Tuple[Array, list, Array]:
+    """Epoch-warm-started fused ContactNets loss.
+
+    Like :func:`soa_contactnets_loss`, but the detached hybrid solve
+    warm-starts from the impulses the SAME samples solved to on a
+    previous visit (epoch-warm training): the carried primal is
+    ``w = M^{-1} J^T gamma_prev`` at the CURRENT parameters, and
+    SAP-Newton starts from the better (by primal cost) of that and a
+    short ``ipm_iterations`` central path
+    (:func:`~dair_pll_tpu.ops.soa_solver.solve_warm_hybrid_soa`).
+    ``force_prev`` is a cone field of ``(k, B)`` leaves (e.g. the
+    ``force`` this function returned on the previous epoch; zeros ==
+    cold samples, which the primal-cost selection routes to the IPM
+    iterate).
+
+    Returns ``(loss (B,), force cone field, valid (1, B))`` so the
+    caller can refresh its per-sample impulse cache — ``force`` is
+    already detached.
+    """
+    n_q = model.n_q
+    n_v = model.n_v
+    dtype = x.dtype
+    eps = jnp.asarray(loss_epsilon, dtype)
+
+    xT = x.T
+    xpT = x_plus.T
+    v = soa.unstack(xT[n_q:n_q + n_v])
+    q_plus = soa.unstack(xpT[:n_q])
+    v_plus = soa.unstack(xpT[n_q:n_q + n_v])
+    u_soa = soa.unstack(u.T) if model.n_u > 0 else []
+
+    sp = scalarize_derived(model, derive_scalar_params(model, params))
+    M, Jc, phi, qc, dv = soa_loss_parts(
+        model, sp, v, q_plus, v_plus, u_soa, dt)
+
+    sg = jax.lax.stop_gradient
+    M_sg = jax.tree_util.tree_map(sg, M)
+    Jc_sg = jax.tree_util.tree_map(sg, Jc)
+    qc_sg = jax.tree_util.tree_map(sg, qc)
+    force_prev = jax.tree_util.tree_map(sg, force_prev)
+    w_carry = soa.spd_solve(M_sg, soa_solver.jt_dot(Jc_sg, force_prev))
+
+    if solver_backend == "auto":
+        solver_backend = ("pallas" if jax.default_backend() not in
+                          ("cpu",) else "xla")
+    if solver_backend in ("pallas", "pallas_interpret"):
+        from dair_pll_tpu.ops.soa_pallas import (
+            solve_warm_hybrid_soa_pallas)
+        force, _, valid = solve_warm_hybrid_soa_pallas(
+            M_sg, Jc_sg, qc_sg, w_carry, float(loss_epsilon),
+            ipm_iterations, newton_iterations,
+            interpret=solver_backend == "pallas_interpret")
+    else:
+        force, _, valid = soa_solver.solve_warm_hybrid_soa(
+            M_sg, Jc_sg, qc_sg, w_carry, eps, ipm_iterations,
+            newton_iterations)
+    force = jax.tree_util.tree_map(sg, force)
+
+    loss = soa_loss_assemble(M, Jc, phi, qc, dv, force, valid, eps)
+    return loss.reshape(-1), force, valid

@@ -147,6 +147,36 @@ def _fwd_kernel(pvec_ref, xin_ref, xp_ref, loss_ref, force_ref, valid_ref,
     valid_ref[0:1] = valid.astype(valid_ref.dtype)
 
 
+def _fwd_kernel_warm(pvec_ref, xin_ref, xp_ref, fprev_ref, loss_ref,
+                     force_ref, valid_ref, *, model, dt: float,
+                     eps: float, ipm_iterations: int,
+                     newton_iterations: int):
+    """Epoch-warm forward: like :func:`_fwd_kernel`, but the hybrid
+    solve warm-starts from the impulses the same samples solved to on a
+    previous epoch (``w = M^{-1} J^T gamma_prev`` at the CURRENT
+    parameters, then better-of-primal-cost vs a short IPM path —
+    ``soa_solver.solve_warm_hybrid_soa``)."""
+    from dair_pll_tpu.multibody.soa_terms import (soa_loss_assemble,
+                                                  soa_loss_parts)
+    from dair_pll_tpu.ops import soa
+    sp = unpack_scalarized(model, lambda i: pvec_ref[0, i])
+    _, v, u = _split_state(model, xin_ref[...])
+    q_plus, v_plus, _ = _split_state(model, xp_ref[...])
+
+    M, Jc, phi, qc, dv = soa_loss_parts(model, sp, v, q_plus, v_plus, u,
+                                        dt)
+    fprev = [fprev_ref[i] for i in range(3)]
+    w_carry = soa.spd_solve(M, soa_solver.jt_dot(Jc, fprev))
+    force, _, valid = soa_solver.solve_warm_hybrid_soa(
+        M, Jc, qc, w_carry, eps, ipm_iterations, newton_iterations)
+    loss = soa_loss_assemble(M, Jc, phi, qc, dv, force, valid, eps)
+
+    loss_ref[0:1] = loss
+    for i in range(3):
+        force_ref[i] = force[i]
+    valid_ref[0:1] = valid.astype(valid_ref.dtype)
+
+
 def _bwd_kernel(pvec_ref, xin_ref, xp_ref, force_ref, valid_ref, ct_ref,
                 dp_ref, dxin_ref, dxp_ref, *, model, dt: float,
                 eps: float, n_p: int):
@@ -362,3 +392,135 @@ def fused_contactnets_loss_kernel(model, params, x: Array, u: Array,
     return _fused_loss(model, float(dt), float(loss_epsilon),
                        ipm_iterations, newton_iterations, block,
                        interpret, pvec, xin, x_plus.T)
+
+
+# -- epoch-warm variant ------------------------------------------------------------
+def _fused_loss_warm_fwd_call(model, dt, eps, ipm_iterations,
+                              newton_iterations, block, interpret, pvec,
+                              xin, xp, fprev):
+    """Like :func:`_fused_loss_fwd_call` with one extra ``(3, k, B)``
+    previous-impulse input feeding the warm-started solve."""
+    n_rows = xin.shape[0]
+    n_x = xp.shape[0]
+    B = xin.shape[-1]
+    k = model.n_contacts
+    dtype = xin.dtype
+
+    blk, n_blocks, padded = _block_sizes(block, B)
+    lanes = blk // SUBLANES
+    p_lanes = padded // SUBLANES
+    n_p = pvec.shape[0]
+
+    kernel = functools.partial(
+        _fwd_kernel_warm, model=model, dt=dt, eps=eps,
+        ipm_iterations=ipm_iterations,
+        newton_iterations=newton_iterations)
+
+    loss_arr, force_arr, valid_arr = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, n_p), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_rows, SUBLANES, lanes),
+                         lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_x, SUBLANES, lanes), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, k, SUBLANES, lanes),
+                         lambda b: (0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, SUBLANES, lanes), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, k, SUBLANES, lanes),
+                         lambda b: (0, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, lanes), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, SUBLANES, p_lanes), dtype),
+            jax.ShapeDtypeStruct((3, k, SUBLANES, p_lanes), dtype),
+            jax.ShapeDtypeStruct((1, SUBLANES, p_lanes), dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(pvec.reshape(1, n_p), _tile_pack(_pad_minor(xin, padded)),
+      _tile_pack(_pad_minor(xp, padded)),
+      _tile_pack(_pad_minor(fprev, padded)))
+    return loss_arr.reshape(padded)[:B], force_arr, valid_arr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _fused_loss_warm(model, dt, eps, ipm_iterations, newton_iterations,
+                     block, interpret, pvec, xin, xp, fprev):
+    loss, force_arr, _ = _fused_loss_warm_fwd_call(
+        model, dt, eps, ipm_iterations, newton_iterations, block,
+        interpret, pvec, xin, xp, fprev)
+    return loss, force_arr
+
+
+def _fused_loss_warm_vjp_fwd(model, dt, eps, ipm_iterations,
+                             newton_iterations, block, interpret, pvec,
+                             xin, xp, fprev):
+    loss, force_arr, valid_arr = _fused_loss_warm_fwd_call(
+        model, dt, eps, ipm_iterations, newton_iterations, block,
+        interpret, pvec, xin, xp, fprev)
+    return (loss, force_arr), (pvec, xin, xp, force_arr, valid_arr)
+
+
+def _fused_loss_warm_vjp_bwd(model, dt, eps, ipm_iterations,
+                             newton_iterations, block, interpret,
+                             residuals, cts):
+    # The refreshed-impulse output is a detached cache (envelope
+    # theorem): its cotangent is discarded and the previous-impulse
+    # input gets zeros. The loss backward is IDENTICAL to the cold
+    # path — the gradient never flows through the solve, only through
+    # terms+assembly at the saved impulse.
+    ct, _ct_force = cts
+    pvec, xin, xp, force_arr, valid_arr = residuals
+    dp, dxin, dxp = _fused_loss_bwd_call(
+        model, dt, eps, block, interpret, pvec, xin, xp, force_arr,
+        valid_arr, ct)
+    dfprev = jnp.zeros((3, model.n_contacts, xin.shape[-1]), xin.dtype)
+    return dp, dxin, dxp, dfprev
+
+
+_fused_loss_warm.defvjp(_fused_loss_warm_vjp_fwd, _fused_loss_warm_vjp_bwd)
+
+
+def fused_contactnets_loss_kernel_warm(model, params, x: Array,
+                                       u: Array, x_plus: Array,
+                                       dt: float, loss_epsilon: float,
+                                       ipm_iterations: int,
+                                       newton_iterations: int,
+                                       force_prev: Array,
+                                       block: int = DEFAULT_BLOCK,
+                                       interpret: bool = False
+                                       ) -> Tuple[Array, Array]:
+    """Epoch-warm single-kernel ContactNets loss.
+
+    Like :func:`fused_contactnets_loss_kernel`, but the in-kernel
+    hybrid solve warm-starts from ``force_prev`` — a ``(3, k, B)``
+    stacked cone field of the impulses these SAME samples solved to on
+    a previous epoch (zeros == cold samples; the primal-cost selection
+    inside ``solve_warm_hybrid_soa`` routes those to the IPM iterate).
+    Returns ``(loss (B,), force (3, k, B))`` where ``force`` is the
+    refreshed, already-detached impulse cache for the next epoch.
+    """
+    from dair_pll_tpu.multibody.soa_terms import derive_scalar_params
+    derived = derive_scalar_params(model, params)
+    pvec = pack_derived(model, derived)
+    xin = jnp.concatenate([x.T, u.T], axis=0) if model.n_u > 0 else x.T
+    loss, force_arr = _fused_loss_warm(
+        model, float(dt), float(loss_epsilon), ipm_iterations,
+        newton_iterations, block, interpret, pvec, xin, x_plus.T,
+        jax.lax.stop_gradient(force_prev))
+    B = x.shape[0]
+    k = model.n_contacts
+    padded = force_arr.shape[-1] * SUBLANES
+    force = jax.lax.stop_gradient(
+        force_arr.reshape(3, k, padded)[..., :B])
+    return loss, force

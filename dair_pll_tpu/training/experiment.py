@@ -280,6 +280,31 @@ class SupervisedLearningExperiment:
         del params
         return None
 
+    def warm_loss_callback(self):
+        """Optional epoch-warm training-loss support (``None`` = not
+        supported, the default).
+
+        Training revisits every sample each epoch with parameters moved
+        by only one optimizer step per minibatch, so expensive per-sample
+        solver state (e.g. contact impulses) from the previous visit is a
+        near-solution the next visit can start from. Subclasses that can
+        exploit this return a pair ``(make_warm_fn, init_cache)``:
+
+        * ``init_cache(n_slices, dtype) -> Array`` — the per-slice solver
+          cache, **sample axis last** (gathered/scattered with the epoch
+          permutation);
+        * ``make_warm_fn(seed: bool)`` — returns
+          ``fn(params, x_past, x_future, cache_slice) ->
+          (losses (B,), new_cache_slice)``. With ``seed=True`` the
+          function must solve from scratch at the full production budget
+          (numerically equivalent to :meth:`loss_callback`; used for the
+          first epoch of a process run, filling the cache); with
+          ``seed=False`` it may run a reduced budget warm-started from
+          the cache. ``new_cache_slice`` must be detached (the gradient
+          flows only through the losses).
+        """
+        return None
+
     # -- setup ---------------------------------------------------------------
     def setup_training(self):
         """Builds systems, data, optimizer, and resumes from checkpoint if
@@ -425,6 +450,80 @@ class SupervisedLearningExperiment:
             out_specs=P()))
         return epoch_fn, eval_epoch_fn
 
+    def _build_warm_train_epoch(self, optimizer, batch_size: int,
+                                seed: bool):
+        """Compiles an epoch-warm variant of the training epoch: the scan
+        carries a per-slice solver cache alongside ``(params, opt_state)``;
+        each step gathers its minibatch's cache entries, feeds them to the
+        warm loss (:meth:`warm_loss_callback`), and scatters the refreshed
+        entries back.
+
+        Under ``shard_training`` the cache stays replicated: devices
+        update disjoint index sets (the minibatch index table partitions
+        across the ``dp`` axis), so the merged cache is a masked ``psum``
+        of per-device scatter-adds, with wraparound-duplicate indices
+        averaged by their multiplicity (duplicates solve the identical
+        sample at identical parameters, so the average IS the value)."""
+        warm = self.warm_loss_callback()
+        assert warm is not None
+        make_warm_fn, _ = warm
+        warm_fn = make_warm_fn(seed)
+        mesh = self.training_mesh(batch_size)
+
+        def batch_mean_loss(params, x_past, x_future, cache_b):
+            losses, new_cache_b = warm_fn(params, x_past, x_future,
+                                          cache_b)
+            return jnp.mean(losses), new_cache_b
+
+        grad_fn = jax.value_and_grad(batch_mean_loss, has_aux=True)
+
+        def epoch_body(params, opt_state, cache, past, future, batches):
+            update_mask = self.parameter_update_mask(params)
+            n_slices = cache.shape[-1]
+
+            def step(carry, batch_indices):
+                params, opt_state, cache = carry
+                x_past = jnp.take(past, batch_indices, axis=0)
+                x_future = jnp.take(future, batch_indices, axis=0)
+                cache_b = jnp.take(cache, batch_indices, axis=-1)
+                (loss, new_cache_b), grads = grad_fn(
+                    params, x_past, x_future, cache_b)
+                if mesh is not None:
+                    from dair_pll_tpu.parallel.sharding import DATA_AXIS
+                    grads = jax.lax.pmean(grads, DATA_AXIS)
+                    loss = jax.lax.pmean(loss, DATA_AXIS)
+                    upd = jnp.zeros_like(cache).at[
+                        ..., batch_indices].add(new_cache_b)
+                    mult = jnp.zeros((n_slices,), cache.dtype).at[
+                        batch_indices].add(1.0)
+                    upd = jax.lax.psum(upd, DATA_AXIS)
+                    mult = jax.lax.psum(mult, DATA_AXIS)
+                    cache = jnp.where(mult > 0,
+                                      upd / jnp.maximum(mult, 1.0),
+                                      cache)
+                else:
+                    cache = cache.at[..., batch_indices].set(new_cache_b)
+                if update_mask is not None:
+                    grads = jax.tree_util.tree_map(
+                        lambda g, m: g * m, grads, update_mask)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, cache), loss
+
+            (params, opt_state, cache), losses = jax.lax.scan(
+                step, (params, opt_state, cache), batches)
+            return params, opt_state, cache, jnp.mean(losses)
+
+        if mesh is None:
+            return jax.jit(epoch_body)
+        from dair_pll_tpu.parallel.sharding import (DATA_AXIS, P,
+                                                    shard_map)
+        return jax.jit(shard_map(
+            epoch_body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(None, DATA_AXIS)),
+            out_specs=(P(), P(), P(), P())))
+
     @staticmethod
     def _epoch_permutation(rng: np.random.Generator, n_slices: int,
                            batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -457,6 +556,16 @@ class SupervisedLearningExperiment:
         batch_size = int(config.optimizer_config.batch_size.value)
         epoch_fn, eval_epoch_fn = self._build_train_epoch(
             optimizer, batch_size)
+        # Epoch-warm solver caching: disabled under dynamic data updates
+        # (the slice set — and with it the cache's sample indexing —
+        # changes between epochs).
+        warm = None if config.data_config.update_dynamically else \
+            self.warm_loss_callback()
+        if warm is not None:
+            seed_epoch_fn = self._build_warm_train_epoch(
+                optimizer, batch_size, seed=True)
+            warm_epoch_fn = self._build_warm_train_epoch(
+                optimizer, batch_size, seed=False)
         rng = np.random.default_rng(713 + state.epoch)
 
         train_set, valid_set, _ = self.data_manager.get_trajectory_sets()
@@ -470,6 +579,13 @@ class SupervisedLearningExperiment:
 
         params = state.current_params
         opt_state = state.optimizer_state
+        if warm is not None:
+            # The cache is transient (never checkpointed): every process
+            # run seeds it with one full-budget epoch, warm thereafter.
+            _, init_cache = warm
+            force_cache = init_cache(train_set.n_slices,
+                                     train_past.dtype)
+            warm_seeded = False
 
         if state.finished_training:
             # A finished checkpoint only short-circuits when its budget is
@@ -517,9 +633,17 @@ class SupervisedLearningExperiment:
                 start = time.time()
                 perm, _ = self._epoch_permutation(
                     rng, train_set.n_slices, batch_size)
-                params, opt_state, train_loss_dev = epoch_fn(
-                    params, opt_state, train_past, train_future,
-                    jnp.asarray(perm).reshape(-1, batch_size))
+                batches = jnp.asarray(perm).reshape(-1, batch_size)
+                if warm is not None:
+                    fn = warm_epoch_fn if warm_seeded else seed_epoch_fn
+                    params, opt_state, force_cache, train_loss_dev = fn(
+                        params, opt_state, force_cache, train_past,
+                        train_future, batches)
+                    warm_seeded = True
+                else:
+                    params, opt_state, train_loss_dev = epoch_fn(
+                        params, opt_state, train_past, train_future,
+                        batches)
                 train_loss = float(train_loss_dev)
                 training_duration = time.time() - start
 

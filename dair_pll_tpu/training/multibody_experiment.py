@@ -101,6 +101,18 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     #: amortizes over a full training run. ``False`` forces the vmapped
     #: path.
     force_fused_loss: Optional[bool] = None
+    #: Epoch-warm ContactNets solves: carry each training slice's solved
+    #: contact impulse across epochs and warm-start the next epoch's
+    #: loss solve from it at a reduced ``warm_solver_budget``
+    #: (:meth:`MultibodyLearnableSystem.contactnets_loss_batch_warm`).
+    #: The first epoch of every process run seeds the cache at the full
+    #: production budget. ``None`` = off (conservative default until
+    #: validated per-protocol); ``True`` requires the fused SoA loss
+    #: path, single-step ContactNets, and the default ``loss_dtype``.
+    use_warm_loss: Optional[bool] = None
+    #: ``(ipm, newton)`` budget for warm (non-seed) epochs; ``None`` =
+    #: ``learnable_system.DEFAULT_LOSS_WARM_BUDGET``.
+    warm_solver_budget: Optional[Tuple[int, int]] = None
 
 
 class MultibodyLearnableExperiment(SupervisedLearningExperiment):
@@ -205,6 +217,57 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
             return total / t_window
 
         return contactnets_loss
+
+    def warm_loss_callback(self):
+        """Epoch-warm ContactNets solves (see
+        :meth:`SupervisedLearningExperiment.warm_loss_callback` and
+        ``MultibodyLearnableSystemConfig.use_warm_loss``).
+
+        Supported only for the single-step ContactNets loss at the
+        default ``loss_dtype`` on fused-SoA-capable models: the cache is
+        the ``(3, k, n_slices)`` stacked contact impulse field."""
+        learnable_config = self.config.learnable_config
+        assert isinstance(learnable_config,
+                          MultibodyLearnableSystemConfig)
+        use = learnable_config.use_warm_loss
+        if not use:
+            return None
+        unsupported = None
+        if learnable_config.loss != MultibodyLosses.CONTACTNETS_LOSS:
+            unsupported = "requires the ContactNets loss"
+        elif learnable_config.contactnets_multistep:
+            unsupported = "single-step ContactNets only"
+        elif learnable_config.loss_dtype is not None:
+            unsupported = "default loss_dtype only"
+        system = self.learned_system
+        assert isinstance(system, MultibodyLearnableSystem)
+        if unsupported is None and not system.supports_fused_loss():
+            unsupported = "model lacks fused SoA loss support"
+        if unsupported is not None:
+            raise ValueError(f"use_warm_loss: {unsupported}")
+
+        n_u = system.model.n_u
+        k = system.model.n_contacts
+        warm_budget = learnable_config.warm_solver_budget
+        seed_budget = (system.ipm_iterations,
+                       system.newton_iterations)
+
+        def make_warm_fn(seed: bool):
+            budget = seed_budget if seed else warm_budget
+
+            def warm_fn(params, x_past, x_future, cache):
+                x = x_past[..., -1, :]
+                u = jnp.zeros(x.shape[:-1] + (n_u,), x.dtype)
+                return system.contactnets_loss_batch_warm(
+                    params, x, u, x_future[..., 0, :], cache,
+                    budget=budget)
+
+            return warm_fn
+
+        def init_cache(n_slices: int, dtype):
+            return jnp.zeros((3, k, n_slices), dtype)
+
+        return make_warm_fn, init_cache
 
     def base_and_learned_comparison_summary(self, statistics: Dict,
                                             best_params: Any) -> Dict:

@@ -1,0 +1,341 @@
+"""Epoch-warm-started ContactNets loss: parity vs the cold fused path.
+
+The warm path (``soa_terms.soa_contactnets_loss_warm`` /
+``learnable_system.contactnets_loss_batch_warm``) re-uses the impulses a
+sample solved to on a previous epoch as the solve's starting point. At
+an exact cache (same parameters) the warm solution must match the cold
+one to solver precision even at a reduced budget; at a zero (cold)
+cache with the FULL budget it must match the cold path (the in-solver
+primal-cost selection falls back to the IPM iterate).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dair_pll_tpu.assets import get_asset
+from dair_pll_tpu.multibody import soa_terms
+from dair_pll_tpu.multibody.learnable_system import (
+    MultibodyLearnableSystem)
+from dair_pll_tpu.urdf import build_multibody_model
+
+from tests.test_fused_loss import _perturbed_params, _random_transitions
+
+DT = 0.0068
+EPS = 1e-3  # learnable_system.LOSS_EPSILON
+
+
+def _setup(B=24, asset="cube", dtype=jnp.float64):
+    model = build_multibody_model({asset: get_asset(asset)})
+    system = MultibodyLearnableSystem(model, DT)
+    x, u, x_plus = _random_transitions(
+        model, B, jax.random.PRNGKey(3), dtype)
+    params = _perturbed_params(model, jax.random.PRNGKey(7), dtype)
+    return model, system, params, x, u, x_plus
+
+
+def test_warm_loss_zero_cache_full_budget_matches_cold():
+    model, system, params, x, u, x_plus = _setup()
+    cold = soa_terms.soa_contactnets_loss(
+        model, params, x, u, x_plus, DT, EPS, 10, 6,
+        solver_backend="xla")
+    k = model.n_contacts
+    zero = [jnp.zeros((k, x.shape[0]), x.dtype)] * 3
+    warm, force, valid = soa_terms.soa_contactnets_loss_warm(
+        model, params, x, u, x_plus, DT, EPS, 10, 6, zero,
+        solver_backend="xla")
+    np.testing.assert_allclose(np.asarray(warm), np.asarray(cold),
+                               rtol=1e-8, atol=1e-10)
+    assert force[0].shape == (k, x.shape[0])
+    assert bool(np.asarray(valid).all())
+
+
+def test_warm_loss_exact_cache_reduced_budget_matches_cold():
+    """With the previous solve's own impulses as cache and UNCHANGED
+    parameters, a (0, 4) budget must already reproduce the full-budget
+    loss to solver precision — the whole point of epoch-warm solves."""
+    model, system, params, x, u, x_plus = _setup()
+    cold = soa_terms.soa_contactnets_loss(
+        model, params, x, u, x_plus, DT, EPS, 14, 8,
+        solver_backend="xla")
+    k = model.n_contacts
+    zero = [jnp.zeros((k, x.shape[0]), x.dtype)] * 3
+    _, cache, _ = soa_terms.soa_contactnets_loss_warm(
+        model, params, x, u, x_plus, DT, EPS, 14, 8, zero,
+        solver_backend="xla")
+    warm, _, _ = soa_terms.soa_contactnets_loss_warm(
+        model, params, x, u, x_plus, DT, EPS, 0, 4, cache,
+        solver_backend="xla")
+    scale = float(np.abs(np.asarray(cold)).mean()) + 1e-12
+    err = np.abs(np.asarray(warm) - np.asarray(cold)) / scale
+    assert err.max() < 1e-7, err.max()
+
+
+def test_warm_loss_gradient_matches_cold_at_exact_cache():
+    model, system, params, x, u, x_plus = _setup()
+    k = model.n_contacts
+    zero = [jnp.zeros((k, x.shape[0]), x.dtype)] * 3
+    _, cache, _ = soa_terms.soa_contactnets_loss_warm(
+        model, params, x, u, x_plus, DT, EPS, 14, 8, zero,
+        solver_backend="xla")
+
+    def cold_mean(p):
+        return jnp.mean(soa_terms.soa_contactnets_loss(
+            model, p, x, u, x_plus, DT, EPS, 14, 8,
+            solver_backend="xla"))
+
+    def warm_mean(p):
+        loss, _, _ = soa_terms.soa_contactnets_loss_warm(
+            model, p, x, u, x_plus, DT, EPS, 2, 6, cache,
+            solver_backend="xla")
+        return jnp.mean(loss)
+
+    g_cold = jax.grad(cold_mean)(params)
+    g_warm = jax.grad(warm_mean)(params)
+    flat = lambda g: np.concatenate([
+        np.asarray(l, np.float64).ravel()
+        for l in jax.tree_util.tree_leaves(g)])
+    gc, gw = flat(g_cold), flat(g_warm)
+    rel = np.linalg.norm(gw - gc) / np.linalg.norm(gc)
+    assert rel < 1e-6, rel
+
+
+def test_warm_loss_batch_wrapper_roundtrip():
+    """contactnets_loss_batch_warm: shape contract, bucketing padding,
+    and cache refresh stability (a second call from the refreshed cache
+    reproduces the loss)."""
+    model, system, params, x, u, x_plus = _setup(B=21)  # non-bucket size
+    k = model.n_contacts
+    cache = jnp.zeros((3, k, x.shape[0]), x.dtype)
+    loss0, cache1 = system.contactnets_loss_batch_warm(
+        params, x, u, x_plus, cache, budget=(10, 6))
+    assert loss0.shape == (21,)
+    assert cache1.shape == (3, k, 21)
+    loss1, _ = system.contactnets_loss_batch_warm(
+        params, x, u, x_plus, cache1, budget=(0, 4))
+    scale = float(np.abs(np.asarray(loss0)).mean()) + 1e-12
+    err = np.abs(np.asarray(loss1) - np.asarray(loss0)) / scale
+    assert err.max() < 1e-7, err.max()
+
+    cold = system.contactnets_loss_batch(params, x, u, x_plus,
+                                         use_fused=True)
+    np.testing.assert_allclose(np.asarray(loss0), np.asarray(cold),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_warm_kernel_interpret_matches_xla():
+    """The Pallas warm fused kernel (interpret mode, f64) matches the
+    XLA warm path at the production operating point: an EXACT impulse
+    cache (the steady state epoch-warm training reaches) and a reduced
+    budget. At a ZERO cache with a reduced budget the solve is
+    under-converged BY DESIGN (both paths sit up to O(1) rel from an
+    f64 (30,30) referee, equidistant — adjudicated by
+    ``scripts/debug_warm_kernel.py``), so ULP-level compilation
+    differences amplify through the branchy Newton line search and
+    per-sample parity is meaningless there; production seeds the cache
+    with one full-budget epoch precisely to avoid that regime."""
+    model, system, params, x, u, x_plus = _setup(B=16)
+    from dair_pll_tpu.ops.soa_loss_pallas import (
+        fused_contactnets_loss_kernel_warm)
+    k = model.n_contacts
+    zero = [jnp.zeros((k, x.shape[0]), x.dtype)] * 3
+    _, cache, _ = soa_terms.soa_contactnets_loss_warm(
+        model, params, x, u, x_plus, DT, EPS, 14, 8, zero,
+        solver_backend="xla")
+    xla_loss, xla_force, _ = soa_terms.soa_contactnets_loss_warm(
+        model, params, x, u, x_plus, DT, EPS, 2, 6, cache,
+        solver_backend="xla")
+    loss, force = fused_contactnets_loss_kernel_warm(
+        model, params, x, u, x_plus, DT, EPS, 2, 6,
+        jnp.stack(cache), interpret=True)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(xla_loss),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(force), np.asarray(jnp.stack(xla_force)),
+        rtol=1e-8, atol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def warm_training_storage(tmp_path_factory):
+    """Simulated cube tosses; 15 trajectories so the 32-batch epoch
+    permutation needs wraparound padding (exercises the duplicate-index
+    cache merge). Generated from PERTURBED parameters: training starts
+    at the asset truth, so there is a real gap to learn — data generated
+    at the truth itself leaves training at the solver noise floor, where
+    'loss decreases' is not a valid expectation."""
+    from dair_pll_tpu.utils import file_utils
+    storage = str(tmp_path_factory.mktemp("warm_storage"))
+    model = build_multibody_model({"cube": get_asset("cube")})
+    system = MultibodyLearnableSystem(model, DT)
+    params = _perturbed_params(model, jax.random.PRNGKey(5), jnp.float64)
+    key = jax.random.PRNGKey(2)
+    n_traj, T = 15, 20
+    keys = jax.random.split(key, n_traj)
+
+    def sample_x0(k):
+        # Contact-rich tosses: start just above the ground moving DOWN
+        # so impacts and sliding fill the 20-step window — from a high
+        # drop the cube stays in flight, where the ContactNets loss
+        # sits at its noise floor for ANY reasonable parameters and
+        # training signal (and these tests' assertions) vanish.
+        from dair_pll_tpu.ops import quaternion
+        k1, k2, k3 = jax.random.split(k, 3)
+        quat = quaternion.exp(0.5 * jax.random.normal(k1, (3,)))
+        pos = jnp.array([0.0, 0.0, 0.065]) + \
+            0.005 * jax.random.normal(k2, (3,))
+        vel = jax.random.normal(k3, (6,)) * \
+            jnp.array([2.0, 2.0, 2.0, 1.0, 1.0, 0.2]) - \
+            jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.5])
+        return jnp.concatenate((quat, pos, vel))
+
+    x0 = jax.vmap(sample_x0)(keys)
+    trajectories = system.simulate_batch(params, x0, T - 1)
+    for i in range(n_traj):
+        file_utils.save_trajectory(storage, "learning", i,
+                                   np.asarray(trajectories[i],
+                                              dtype=np.float32))
+    return storage
+
+
+def _warm_experiment(storage, run_name, epochs, use_warm,
+                     warm_budget=None, shard=False):
+    from dair_pll_tpu.data.config import DataConfig, TrajectorySliceConfig
+    from dair_pll_tpu.hyperparameter import Float, Int
+    from dair_pll_tpu.training.config import (
+        OptimizerConfig, SupervisedLearningExperimentConfig)
+    from dair_pll_tpu.training.multibody_experiment import (
+        MultibodyLearnableExperiment, MultibodyLearnableSystemConfig,
+        MultibodyLosses, MultibodySystemConfig)
+    config = SupervisedLearningExperimentConfig(
+        data_config=DataConfig(dt=DT, train_fraction=0.5,
+                               valid_fraction=0.25, test_fraction=0.25,
+                               slice_config=TrajectorySliceConfig()),
+        base_config=MultibodySystemConfig(
+            urdfs={"cube": get_asset("cube")}),
+        learnable_config=MultibodyLearnableSystemConfig(
+            urdfs={"cube": get_asset("cube")},
+            loss=MultibodyLosses.CONTACTNETS_LOSS,
+            use_warm_loss=use_warm, warm_solver_budget=warm_budget),
+        optimizer_config=OptimizerConfig(
+            lr=Float(1e-3), wd=Float(0.0), patience=50, epochs=epochs,
+            batch_size=Int(32)),
+        storage=storage, run_name=run_name,
+        full_evaluation_samples=0, shard_training=shard,
+    )
+    return MultibodyLearnableExperiment(config)
+
+
+def _flat_params(params):
+    return np.concatenate([
+        np.asarray(l, np.float64).ravel()
+        for l in jax.tree_util.tree_leaves(params)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)])
+
+
+def test_warm_training_seed_epoch_matches_cold(warm_training_storage):
+    """A 1-epoch warm run only executes the SEED epoch (full budget,
+    zero cache) and must reproduce cold training.
+
+    Tolerances are f32-noise-aware: the data pipeline trains at f32
+    (``data/management.py`` loads float32), where the (10,6) budget
+    leaves per-sample solver tails on hard QPs (the round-4
+    gradient-precision finding) — the seed-warm and cold epoch bodies
+    compile to different XLA graphs, and their ULP-level differences
+    amplify through those under-resolved samples into ~1% gradient
+    differences. A wiring bug (wrong budget, cache misuse, loss
+    rescale) would produce O(1) parameter divergence, which these
+    bounds still catch."""
+    captured = {}
+
+    def capture(tag):
+        return lambda e, p, tl, bv: captured.setdefault(
+            (tag, e), (p, tl))
+
+    cold = _warm_experiment(warm_training_storage, "warm_seed_cold",
+                            epochs=1, use_warm=False)
+    cold.train(capture("cold"))
+    warm = _warm_experiment(warm_training_storage, "warm_seed_warm",
+                            epochs=1, use_warm=True)
+    warm.train(capture("warm"))
+    params_warm, loss_warm = captured[("warm", 1)]
+    params_cold, loss_cold = captured[("cold", 1)]
+    assert abs(loss_warm - loss_cold) < 1e-3 * max(1.0, abs(loss_cold))
+    np.testing.assert_allclose(
+        _flat_params(params_warm), _flat_params(params_cold),
+        rtol=2e-2, atol=5e-5)
+
+
+def test_warm_training_loss_decreases(warm_training_storage):
+    """Multi-epoch warm training (seed epoch + reduced-budget warm
+    epochs) reduces the training loss and keeps parameters finite."""
+    experiment = _warm_experiment(warm_training_storage, "warm_multi",
+                                  epochs=5, use_warm=True)
+    losses = []
+    experiment.train(lambda e, p, tl, bv: losses.append(tl))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_warm_training_sharded_matches_single_device(
+        warm_training_storage):
+    """Warm epochs under ``shard_training`` (8-device mesh, replicated
+    cache merged by masked psum — incl. wraparound-duplicate averaging)
+    reproduce single-device warm training."""
+    def run(run_name, shard):
+        experiment = _warm_experiment(
+            warm_training_storage, run_name, epochs=2, use_warm=True,
+            shard=shard)
+        if shard:
+            assert experiment.training_mesh(32) is not None
+        captured = []
+        experiment.train(lambda e, p, tl, bv: captured.append((tl, p)))
+        return captured[-1]
+
+    loss_single, params_single = run("warm_shard_off", False)
+    loss_shard, params_shard = run("warm_shard_on", True)
+    # f32-noise-aware bounds (same mechanism as
+    # test_warm_training_seed_epoch_matches_cold: the sharded epoch is
+    # a different XLA graph, and reduction-order/ULP differences
+    # amplify through under-resolved f32 solves).
+    assert abs(loss_shard - loss_single) < 1e-3 * max(
+        1.0, abs(loss_single))
+    np.testing.assert_allclose(_flat_params(params_shard),
+                               _flat_params(params_single),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_warm_kernel_gradient_matches_xla():
+    """Parameter gradients through the warm kernel (interpret, f64)
+    match the XLA warm path — the warm backward reuses the cold
+    in-kernel-grad machinery at the refreshed impulse. Uses an exact
+    cache (production steady state) so the solved impulse — which both
+    backwards differentiate AT — is itself converged (see
+    :func:`test_warm_kernel_interpret_matches_xla`)."""
+    model, system, params, x, u, x_plus = _setup(B=8)
+    from dair_pll_tpu.ops.soa_loss_pallas import (
+        fused_contactnets_loss_kernel_warm)
+    k = model.n_contacts
+    zero = [jnp.zeros((k, x.shape[0]), x.dtype)] * 3
+    _, cache_field, _ = soa_terms.soa_contactnets_loss_warm(
+        model, params, x, u, x_plus, DT, EPS, 14, 8, zero,
+        solver_backend="xla")
+    cache = jnp.stack(cache_field)
+
+    def xla_mean(p):
+        loss, _, _ = soa_terms.soa_contactnets_loss_warm(
+            model, p, x, u, x_plus, DT, EPS, 2, 6,
+            [cache[i] for i in range(3)], solver_backend="xla")
+        return jnp.mean(loss)
+
+    def ker_mean(p):
+        loss, _ = fused_contactnets_loss_kernel_warm(
+            model, p, x, u, x_plus, DT, EPS, 2, 6, cache,
+            interpret=True)
+        return jnp.mean(loss)
+
+    g_xla = jax.grad(xla_mean)(params)
+    g_ker = jax.grad(ker_mean)(params)
+    for lr, lk in zip(jax.tree_util.tree_leaves(g_xla),
+                      jax.tree_util.tree_leaves(g_ker)):
+        np.testing.assert_allclose(np.asarray(lk), np.asarray(lr),
+                                   rtol=1e-6, atol=1e-9)
