@@ -25,15 +25,25 @@ Verified by a real 2-process CPU integration test
 """
 from __future__ import annotations
 
+import hmac
 import json
 import os
+import secrets
 import socket
 import socketserver
 import threading
 import time
+import uuid
 from typing import Any, Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
+
+#: Default staleness window after which a claimed-but-unpublished trial
+#: may be re-claimed by another worker (a crashed worker would otherwise
+#: orphan its trials and block ``gather_results`` until its timeout).
+#: Trials are coarse (minutes each); one hour is comfortably past any
+#: healthy trial while still unblocking a study within the same session.
+DEFAULT_CLAIM_TTL_S = 3600.0
 
 
 def initialize(coordinator_address: str, num_processes: int,
@@ -83,20 +93,42 @@ class TrialCoordinatorServer:
     are coarse (minutes each), so a threaded JSON-line server is far
     below any contention scale that would matter.
 
-    Protocol (one JSON object per line, one reply per request)::
+    Protocol (one JSON object per line, one reply per request; every
+    request must carry the server's shared ``token``)::
 
-        {"op": "claim",   "round": r, "trial": t}            -> {"ok": bool}
-        {"op": "publish", "round": r, "trial": t,
-         "payload": {...}}                                   -> {"ok": true}
-        {"op": "fetch",   "round": r, "trials": [t, ...]}    ->
+        {"op": "claim",   "round": r, "trial": t, "token": s} -> {"ok": bool}
+        {"op": "publish", "round": r, "trial": t, "token": s,
+         "payload": {...}}                                    -> {"ok": true}
+        {"op": "fetch",   "round": r, "trials": [t, ...],
+         "token": s}                                          ->
             {"results": {"t": payload, ...}}   # only finished ones
-        {"op": "ping"}                                       -> {"ok": true}
+        {"op": "ping", "token": s}                            -> {"ok": true}
+
+    Security: the server binds ``127.0.0.1`` by default (pass an explicit
+    ``host`` — e.g. ``"0.0.0.0"`` — to opt in to external connections)
+    and authenticates every request against a shared random ``token``
+    (auto-generated unless provided), so a network peer cannot claim
+    trials or publish forged results that would steer hyperparameter
+    selection. Distribute :attr:`address` (which embeds the token as
+    ``host:port?token=...``) to workers over a trusted channel.
+
+    Liveness: a claim expires after ``claim_ttl_s`` seconds unless its
+    result is published, after which another worker may re-claim the
+    trial — a crashed worker no longer orphans its trials for the whole
+    ``gather_results`` timeout.
     """
 
-    def __init__(self, host: str = "0.0.0.0", port: int = 0) -> None:
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 token: Optional[str] = None,
+                 advertise_host: Optional[str] = None,
+                 claim_ttl_s: float = DEFAULT_CLAIM_TTL_S) -> None:
         self._lock = threading.Lock()
-        self._claims: set = set()
+        #: claim key -> lease expiry (monotonic seconds).
+        self._claims: Dict[Tuple[int, int], float] = {}
         self._results: Dict[Tuple[int, int], dict] = {}
+        self.token = token if token is not None else secrets.token_hex(16)
+        self.claim_ttl_s = float(claim_ttl_s)
+        self._advertise_host = advertise_host
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -122,19 +154,38 @@ class TrialCoordinatorServer:
 
     @property
     def address(self) -> str:
+        """Connectable ``host:port?token=...`` string for workers.
+
+        The host part is a REACHABLE address: the configured
+        ``advertise_host`` when given, the bind host when it is a real
+        interface, or this machine's hostname when bound to a wildcard
+        address (``0.0.0.0``/``::`` are bind-only and not connectable
+        from other hosts)."""
         host, port = self._server.server_address[:2]
-        return f"{host}:{port}"
+        if self._advertise_host:
+            host = self._advertise_host
+        elif host in ("0.0.0.0", "::", ""):
+            host = socket.getfqdn() or socket.gethostname()
+        return f"{host}:{port}?token={self.token}"
 
     def _dispatch(self, request: dict) -> dict:
+        supplied = str(request.get("token", ""))
+        if not hmac.compare_digest(supplied, self.token):
+            return {"ok": False, "error": "bad token"}
         op = request.get("op")
         if op == "ping":
             return {"ok": True}
         if op == "claim":
             key = (int(request["round"]), int(request["trial"]))
+            now = time.monotonic()
             with self._lock:
-                if key in self._claims:
+                if key in self._results:
                     return {"ok": False}
-                self._claims.add(key)
+                expiry = self._claims.get(key)
+                if expiry is not None and now < expiry:
+                    return {"ok": False}
+                # Unclaimed, or the lease of a crashed worker expired.
+                self._claims[key] = now + self.claim_ttl_s
             return {"ok": True}
         if op == "publish":
             key = (int(request["round"]), int(request["trial"]))
@@ -170,15 +221,25 @@ class TcpTrialCoordinator:
     API as :class:`FileTrialCoordinator` (``try_claim`` /
     ``publish_result`` / ``gather_results`` / ``claim_iter``), so
     ``Study.optimize_hyperparameters`` works across machines without a
-    shared filesystem."""
+    shared filesystem.
 
-    def __init__(self, address: str, timeout_s: float = 30.0) -> None:
+    ``address`` is the server's :attr:`TrialCoordinatorServer.address`
+    string — ``host:port?token=...``; the shared token may instead be
+    passed explicitly via ``token``."""
+
+    def __init__(self, address: str, timeout_s: float = 30.0,
+                 token: Optional[str] = None) -> None:
+        address, _, query = address.partition("?")
+        if query.startswith("token="):
+            token = query[len("token="):]
         host, _, port = address.rpartition(":")
         self.host = host or "127.0.0.1"
         self.port = int(port)
         self.timeout_s = timeout_s
+        self.token = token or ""
 
     def _rpc(self, request: dict) -> dict:
+        request = dict(request, token=self.token)
         with socket.create_connection((self.host, self.port),
                                       timeout=self.timeout_s) as conn:
             conn.sendall((json.dumps(request) + "\n").encode())
@@ -188,7 +249,13 @@ class TcpTrialCoordinator:
             raise ConnectionError(
                 f"trial coordinator at {self.host}:{self.port} closed "
                 "the connection")
-        return json.loads(line)
+        reply = json.loads(line)
+        if reply.get("error") == "bad token":
+            raise PermissionError(
+                f"trial coordinator at {self.host}:{self.port} rejected "
+                "the shared token; pass the server's full .address "
+                "string (host:port?token=...)")
+        return reply
 
     def try_claim(self, round_index: int, trial_index: int) -> bool:
         return bool(self._rpc({"op": "claim", "round": round_index,
@@ -234,10 +301,17 @@ class FileTrialCoordinator:
     pods share); results are JSON files next to the claims. Mirrors the
     role of the reference's parallel optuna trials backed by a shared
     RDB (``study.py:134-148``) without requiring a database server.
+
+    A claim whose result has not been published within ``claim_ttl_s``
+    seconds is considered orphaned (crashed worker) and may be stolen:
+    the stale claim file is atomically renamed aside (only one stealer's
+    rename succeeds) and re-created by the winner.
     """
 
-    def __init__(self, coordination_dir: str) -> None:
+    def __init__(self, coordination_dir: str,
+                 claim_ttl_s: float = DEFAULT_CLAIM_TTL_S) -> None:
         self.root = coordination_dir
+        self.claim_ttl_s = float(claim_ttl_s)
         os.makedirs(self.root, exist_ok=True)
 
     def _claim_path(self, round_index: int, trial_index: int) -> str:
@@ -249,15 +323,40 @@ class FileTrialCoordinator:
                             f"result_r{round_index}_t{trial_index}.json")
 
     def try_claim(self, round_index: int, trial_index: int) -> bool:
-        """Atomically claims a trial; True iff this process won it."""
+        """Atomically claims a trial; True iff this process won it.
+
+        An existing claim may be stolen when it is older than
+        ``claim_ttl_s`` and its result was never published."""
+        path = self._claim_path(round_index, trial_index)
         try:
-            fd = os.open(self._claim_path(round_index, trial_index),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            return False
+            if not self._claim_is_stale(round_index, trial_index):
+                return False
+            # Steal the orphaned claim: exactly one stealer's rename of
+            # the stale file succeeds; everyone then races the ordinary
+            # exclusive re-creation.
+            try:
+                os.rename(path, f"{path}.stale.{uuid.uuid4().hex}")
+            except OSError:
+                return False
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
         return True
+
+    def _claim_is_stale(self, round_index: int, trial_index: int) -> bool:
+        if os.path.exists(self._result_path(round_index, trial_index)):
+            return False
+        try:
+            age = time.time() - os.path.getmtime(
+                self._claim_path(round_index, trial_index))
+        except OSError:
+            return False
+        return age > self.claim_ttl_s
 
     def claim_iter(self, round_index: int,
                    trial_indices: Sequence[int]) -> Iterator[int]:

@@ -10,6 +10,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -227,6 +228,86 @@ def test_tcp_trial_coordinator_two_processes():
         assert all("pid" in payload for payload in results.values())
     finally:
         server.shutdown()
+
+
+def test_tcp_coordinator_rejects_bad_token():
+    """Requests without the server's shared token are refused — a
+    network peer cannot claim trials or forge results (ADVICE r4)."""
+    import pytest
+
+    from dair_pll_tpu.parallel.multiprocess import (TcpTrialCoordinator,
+                                                    TrialCoordinatorServer)
+
+    server = TrialCoordinatorServer(host="127.0.0.1")
+    address = server.start()
+    try:
+        assert "?token=" in address
+        host_port = address.partition("?")[0]
+        intruder = TcpTrialCoordinator(host_port)  # no token
+        with pytest.raises(PermissionError):
+            intruder.try_claim(0, 0)
+        with pytest.raises(PermissionError):
+            intruder.publish_result(0, 0, {"valid_loss": -1e9})
+        # The legitimate client (full address string) still works.
+        assert TcpTrialCoordinator(address).try_claim(0, 0)
+    finally:
+        server.shutdown()
+
+
+def test_tcp_coordinator_reclaims_expired_lease():
+    """A claim whose worker crashed (no published result) becomes
+    re-claimable after the lease TTL; published trials never do."""
+    import time as time_mod
+
+    from dair_pll_tpu.parallel.multiprocess import (TcpTrialCoordinator,
+                                                    TrialCoordinatorServer)
+
+    server = TrialCoordinatorServer(host="127.0.0.1", claim_ttl_s=0.2)
+    address = server.start()
+    try:
+        a = TcpTrialCoordinator(address)
+        b = TcpTrialCoordinator(address)
+        assert a.try_claim(0, 0) and a.try_claim(0, 1)
+        a.publish_result(0, 1, {"valid_loss": 1.0})
+        assert not b.try_claim(0, 0)  # lease still live
+        time_mod.sleep(0.3)
+        assert b.try_claim(0, 0)      # orphaned -> stolen
+        assert not b.try_claim(0, 1)  # published -> never re-claimed
+    finally:
+        server.shutdown()
+
+
+def test_file_coordinator_steals_stale_claim(tmp_path):
+    """File-coordinator analogue of the lease: an old claim file with no
+    result is stolen exactly once."""
+    import threading
+
+    from dair_pll_tpu.parallel.multiprocess import FileTrialCoordinator
+
+    root = str(tmp_path / "coord")
+    crashed = FileTrialCoordinator(root, claim_ttl_s=0.2)
+    assert crashed.try_claim(0, 0)
+    assert crashed.try_claim(0, 1)
+    crashed.publish_result(0, 1, {"valid_loss": 1.0})
+    # Fresh claim is not stealable.
+    live = FileTrialCoordinator(root, claim_ttl_s=3600.0)
+    assert not live.try_claim(0, 0)
+    time.sleep(0.3)
+    stealers = [FileTrialCoordinator(root, claim_ttl_s=0.2)
+                for _ in range(4)]
+    wins = []
+
+    def run(coord):
+        if coord.try_claim(0, 0):
+            wins.append(1)
+
+    threads = [threading.Thread(target=run, args=(c,)) for c in stealers]
+    for thread in threads:
+        thread.start()
+    for thread in threads:
+        thread.join()
+    assert len(wins) == 1              # stolen exactly once
+    assert not stealers[0].try_claim(0, 1)  # published -> kept
 
 
 def test_study_with_tcp_coordinator(tmp_path):
