@@ -78,20 +78,30 @@ DEFAULT_SOLVER = "hybrid"
 #: Reduced (ipm, newton) budget for EPOCH-WARM loss solves
 #: (:meth:`MultibodyLearnableSystem.contactnets_loss_batch_warm`):
 #: between epochs the parameters move by one optimizer step, so the
-#: previous epoch's impulse is a near-solution. Chosen by the real-data
-#: battery ``scripts/warm_loss_battery.py``
-#: (``results/warm_loss_battery.json``): (0, 10) — pure SAP-Newton from
-#: the carried impulse, NO central path — matches the cold (10, 6)
-#: production budget's gradient accuracy vs an f64 (30, 30) referee
-#: (rel-l2 0.044-0.067 vs cold's 0.054-0.071) at ~2.5x less solve work.
-#: Budgets with newton < 10 leave catastrophic per-sample tails (the
-#: carried iterate lands near cone creases where a short f32 polish
-#: stalls: (0,8) rel-l2 up to 0.24, (2,6) up to 7.9), and SHORT central
-#: paths are worse than none — at ipm=2 the primal-cost selection
-#: sometimes prefers a barely-centered IPM iterate over the carry, and
-#: Newton polishes it into a worse basin ((2,8) rel-l2 0.38-0.80 vs
-#: (0,8)'s 0.10-0.24, (2,10) 0.077-0.091 vs (0,10)'s 0.044-0.067).
-DEFAULT_LOSS_WARM_BUDGET = (0, 10)
+#: previous epoch's impulse is a near-solution.
+#:
+#: (4, 10) — a SHORT central path plus a long polish, Newton started
+#: from the better (by primal cost) of the carried impulse and the IPM
+#: iterate. Two measured findings pin both numbers:
+#:
+#: * newton >= 10: shorter f32 polishes stall at cone creases
+#:   (``results/warm_loss_battery.json``: (0,8) grad rel-l2 up to 0.24,
+#:   (2,6) up to 7.9 vs an f64 (30,30) referee).
+#: * ipm >= 4: with NO (or a 2-step) central path, crease-stalled warm
+#:   solves PERSIST in the epoch cache and compound across epochs into
+#:   contaminated gradients — multi-epoch training genuinely diverges
+#:   on contact-rich data ((0,10): true loss 6.7x worse than cold after
+#:   10 epochs; periodic re-seeding does NOT rescue it;
+#:   ``scripts/diag_warm_divergence.py``). A 4-step path hands Newton a
+#:   centered interior fallback and restores cold-equivalent training
+#:   ((4,10) tracks cold to <1% on the same battery), at equal
+#:   per-step gradient quality on real data
+#:   (``warm_loss_battery.json``: (4,8) rel-l2 0.041-0.061 vs cold
+#:   (10,6)'s 0.054-0.071). The round-4 battery's "(2,x) short paths
+#:   are worse than none" finding was about ipm=2 specifically — a
+#:   barely-centered iterate can win the primal-cost selection and
+#:   polish into a worse point; at ipm=4 the iterate is centered enough.
+DEFAULT_LOSS_WARM_BUDGET = (4, 10)
 #: Flattened batch size above which the batched ContactNets loss
 #: auto-routes to the fused batch-minor SoA path (``multibody/soa_terms``).
 FUSED_LOSS_MIN_BATCH = 2048
@@ -102,15 +112,45 @@ FUSED_LOSS_MIN_BATCH = 2048
 FUSED_ROLLOUT_MIN_BATCH = 1024
 
 
+#: Batch size above which the fused-path shape buckets refine to quarter
+#: steps ({1.0, 1.25, 1.5, 1.75}x the lower power of two): at large
+#: batches pure power-of-two rounding silently pays up to ~2x compute and
+#: HBM for workloads just past a boundary (e.g. 1.05M rows solving 2M),
+#: which dominates the (amortized-once) extra cold compiles.
+QUARTER_BUCKET_MIN = 1 << 18
+_PAD_WARNED: set = set()
+
+
 def _batch_bucket(n_batch: int) -> int:
-    """Rounds a fused-path batch size up to the next power of two.
+    """Rounds a fused-path batch size up to a shape bucket.
 
     Compile-time mitigation (``results/compile_time.json``): the fused
     SoA graph cold-compiles in minutes per distinct batch shape, so all
-    fused entry points pad to power-of-two buckets — a new workload size
-    then hits the persistent compilation cache instead of recompiling.
-    """
-    return 1 << (n_batch - 1).bit_length()
+    fused entry points pad to shape buckets — a new workload size then
+    hits the persistent compilation cache instead of recompiling.
+    Buckets are powers of two below ``QUARTER_BUCKET_MIN`` and quarter
+    steps of the enclosing power-of-two range above it (the padding
+    overhead then caps at 25%; every quarter bucket there is a multiple
+    of ``2**15``, so sublane packing and Pallas block divisibility are
+    unaffected). Small-batch paddings past 25% log a one-time note so
+    users can align workload sizes to buckets."""
+    pow2 = 1 << max(0, n_batch - 1).bit_length()
+    if pow2 >= QUARTER_BUCKET_MIN:
+        base = pow2 >> 1
+        for numerator in (5, 6, 7):
+            candidate = base * numerator // 4
+            if n_batch <= candidate:
+                return candidate
+        return pow2
+    if pow2 > n_batch * 5 // 4 and pow2 not in _PAD_WARNED:
+        _PAD_WARNED.add(pow2)
+        import logging
+        logging.getLogger(__name__).info(
+            "fused-path batch %d pads to the %d compile bucket (%.0f%% "
+            "padding); aligning the workload batch to a bucket avoids "
+            "the padded compute", n_batch, pow2,
+            100.0 * (pow2 - n_batch) / n_batch)
+    return pow2
 
 
 class MultibodyLearnableSystem(System):

@@ -51,6 +51,9 @@ class OptimizerConfig:
         assert self.lr_schedule in ("constant", "cosine")
 
 
+_SELECTION_METRICS = ("prediction", "objective")
+
+
 @dataclasses.dataclass
 class SupervisedLearningExperimentConfig:
     """Complete experiment configuration (reference
@@ -67,6 +70,23 @@ class SupervisedLearningExperimentConfig:
           local JSONL logging always happens).
         full_evaluation_period: epochs between full trajectory evaluations.
         full_evaluation_samples: trajectories per full evaluation.
+        selection_metric: metric monitored for model selection and early
+          stopping: ``"prediction"`` (the validation trajectory-evaluation
+          prediction loss, the reference's behavior,
+          ``experiment.py:647-657``) or ``"objective"`` (the training
+          objective evaluated on the validation slices — e.g. the
+          ContactNets loss for ContactNets runs; robust on high-energy
+          protocols whose wrong-init rollout metrics are noisy/diverging
+          while the objective is already informative).
+        video_period: full evaluations between overlay-video renders
+          (rendering is host-side matplotlib and dominates logging wall
+          time on small machines — ``results/cube_mesh_r4_fused.json``
+          ``wall_seconds_split``); ``0`` disables videos.
+        video_max_frames: frame decimation cap per overlay video.
+        video_height / video_width: overlay render resolution. Defaults
+          are half the reference's 480x640 (dominating cost is
+          per-pixel rasterization, so this is ~4x cheaper); set 480/640
+          to match the reference exactly.
         update_geometry_in_videos: regenerate visualization geometry.
         shard_evaluation: shard trajectory-rollout evaluation over all
           available devices (data-parallel mesh); single-device otherwise.
@@ -92,6 +112,24 @@ class SupervisedLearningExperimentConfig:
     wandb_project: Optional[str] = None
     full_evaluation_period: int = 1
     full_evaluation_samples: int = 5
+    selection_metric: str = "prediction"
+    #: With an epoch-warm training loss (``warm_loss_callback``): epochs
+    #: between full-budget re-seeding epochs (0 = seed only the first
+    #: epoch). Warm solves can STALL at cone creases when started from a
+    #: carried near-solution (the semismooth Newton polish makes no
+    #: progress there), and stalled entries persist in the cache —
+    #: compounding across epochs into contaminated gradients
+    #: (``scripts/diag_warm_divergence.py``). Periodic re-seeding
+    #: bounds the drift to ``warm_seed_period`` epochs.
+    warm_seed_period: int = 8
+    video_period: int = 1
+    video_max_frames: int = 30
+    video_height: int = 240
+    video_width: int = 320
     update_geometry_in_videos: bool = False
     shard_evaluation: bool = False
     shard_training: bool = False
+
+    def __post_init__(self):
+        assert self.selection_metric in _SELECTION_METRICS, (
+            f"selection_metric must be one of {_SELECTION_METRICS}")

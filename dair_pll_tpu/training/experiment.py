@@ -460,10 +460,12 @@ class SupervisedLearningExperiment:
 
         Under ``shard_training`` the cache stays replicated: devices
         update disjoint index sets (the minibatch index table partitions
-        across the ``dp`` axis), so the merged cache is a masked ``psum``
-        of per-device scatter-adds, with wraparound-duplicate indices
-        averaged by their multiplicity (duplicates solve the identical
-        sample at identical parameters, so the average IS the value)."""
+        across the ``dp`` axis), so merging is an ``all_gather`` of each
+        device's ``(values, indices)`` pair — collective payload
+        ``O(batch_size)``, not ``O(n_slices)`` — followed by one scatter
+        into the replicated cache. Wraparound-duplicate indices scatter
+        identical values (duplicates solve the identical sample at
+        identical parameters), so the scatter is value-deterministic."""
         warm = self.warm_loss_callback()
         assert warm is not None
         make_warm_fn, _ = warm
@@ -479,7 +481,6 @@ class SupervisedLearningExperiment:
 
         def epoch_body(params, opt_state, cache, past, future, batches):
             update_mask = self.parameter_update_mask(params)
-            n_slices = cache.shape[-1]
 
             def step(carry, batch_indices):
                 params, opt_state, cache = carry
@@ -492,15 +493,19 @@ class SupervisedLearningExperiment:
                     from dair_pll_tpu.parallel.sharding import DATA_AXIS
                     grads = jax.lax.pmean(grads, DATA_AXIS)
                     loss = jax.lax.pmean(loss, DATA_AXIS)
-                    upd = jnp.zeros_like(cache).at[
-                        ..., batch_indices].add(new_cache_b)
-                    mult = jnp.zeros((n_slices,), cache.dtype).at[
-                        batch_indices].add(1.0)
-                    upd = jax.lax.psum(upd, DATA_AXIS)
-                    mult = jax.lax.psum(mult, DATA_AXIS)
-                    cache = jnp.where(mult > 0,
-                                      upd / jnp.maximum(mult, 1.0),
-                                      cache)
+                    # O(batch_size) collective payload (ADVICE r4): gather
+                    # only the minibatch's refreshed values + indices from
+                    # every device and apply ONE scatter into the
+                    # replicated cache — NOT a full-cache-sized psum per
+                    # step. Wraparound-duplicate indices scatter identical
+                    # values (the duplicates solve the identical sample at
+                    # identical parameters), so scatter-set is
+                    # value-deterministic.
+                    all_vals = jax.lax.all_gather(
+                        new_cache_b, DATA_AXIS, axis=-1, tiled=True)
+                    all_idx = jax.lax.all_gather(
+                        batch_indices, DATA_AXIS, axis=0, tiled=True)
+                    cache = cache.at[..., all_idx].set(all_vals)
                 else:
                     cache = cache.at[..., batch_indices].set(new_cache_b)
                 if update_mask is not None:
@@ -581,11 +586,14 @@ class SupervisedLearningExperiment:
         opt_state = state.optimizer_state
         if warm is not None:
             # The cache is transient (never checkpointed): every process
-            # run seeds it with one full-budget epoch, warm thereafter.
+            # run seeds it with one full-budget epoch, warm thereafter —
+            # re-seeding every ``warm_seed_period`` epochs to bound the
+            # compounding drift of crease-stalled warm solves (see the
+            # config docstring / scripts/diag_warm_divergence.py).
             _, init_cache = warm
             force_cache = init_cache(train_set.n_slices,
                                      train_past.dtype)
-            warm_seeded = False
+            epochs_since_seed: Optional[int] = None
 
         if state.finished_training:
             # A finished checkpoint only short-circuits when its budget is
@@ -606,14 +614,16 @@ class SupervisedLearningExperiment:
             params, train_past, train_future,
             jnp.asarray(perm).reshape(-1, batch_size),
             jnp.asarray(weights).reshape(-1, batch_size)))
+        select_objective = config.selection_metric == "objective"
         if state.epoch == 1:
             valid_loss = self._epoch_training_objective_on_valid(
                 eval_epoch_fn, params, valid_set, valid_past, valid_future,
                 rng, batch_size)
             eval_valid_loss = self.per_epoch_evaluation(
                 0, params, train_loss, 0.0, valid_loss)
-            state.best_valid_loss = eval_valid_loss if \
-                eval_valid_loss is not None else valid_loss
+            state.best_valid_loss = valid_loss if (
+                select_objective or eval_valid_loss is None) else \
+                eval_valid_loss
             epoch_callback(0, params, train_loss, state.best_valid_loss)
 
         patience = config.optimizer_config.patience
@@ -635,11 +645,16 @@ class SupervisedLearningExperiment:
                     rng, train_set.n_slices, batch_size)
                 batches = jnp.asarray(perm).reshape(-1, batch_size)
                 if warm is not None:
-                    fn = warm_epoch_fn if warm_seeded else seed_epoch_fn
+                    seed_period = config.warm_seed_period
+                    reseed = (epochs_since_seed is None or
+                              (seed_period > 0 and
+                               epochs_since_seed >= seed_period))
+                    fn = seed_epoch_fn if reseed else warm_epoch_fn
                     params, opt_state, force_cache, train_loss_dev = fn(
                         params, opt_state, force_cache, train_past,
                         train_future, batches)
-                    warm_seeded = True
+                    epochs_since_seed = 0 if reseed else \
+                        epochs_since_seed + 1
                 else:
                     params, opt_state, train_loss_dev = epoch_fn(
                         params, opt_state, train_past, train_future,
@@ -679,12 +694,14 @@ class SupervisedLearningExperiment:
                 eval_valid_loss = self.per_epoch_evaluation(
                     state.epoch, params, train_loss, training_duration,
                     objective_valid_loss, force=final_epoch)
-                if eval_valid_loss is not None:
-                    carried_valid_loss = eval_valid_loss
-                elif self.config.full_evaluation_samples <= 0:
-                    # Trajectory evaluation disabled: select models on the
-                    # training objective evaluated on the validation set.
+                if select_objective or \
+                        self.config.full_evaluation_samples <= 0:
+                    # selection_metric="objective" (or trajectory
+                    # evaluation disabled): select models on the training
+                    # objective evaluated on the validation set.
                     carried_valid_loss = objective_valid_loss
+                elif eval_valid_loss is not None:
+                    carried_valid_loss = eval_valid_loss
                 valid_loss = carried_valid_loss
 
                 if valid_loss < state.best_valid_loss:
