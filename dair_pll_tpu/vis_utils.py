@@ -107,7 +107,10 @@ def render_state_pair_frames(
 
 def visualize_trajectory(model, params, target: np.ndarray,
                          prediction: np.ndarray, dt: float,
-                         max_frames: int = 60) -> Tuple[np.ndarray, int]:
+                         max_frames: int = 60,
+                         height: int = VIDEO_HEIGHT,
+                         width: int = VIDEO_WIDTH
+                         ) -> Tuple[np.ndarray, int]:
     """Overlay video of a target/prediction pair for a multibody model.
 
     Builds box face sets from the model's (learned) geometry; plays the
@@ -126,8 +129,8 @@ def visualize_trajectory(model, params, target: np.ndarray,
     body_q_offsets = {body: model.body_q_offset(body)
                       for body in geometry_faces}
 
-    stride = max(1, target.shape[0] // max_frames)
+    stride = max(1, -(-target.shape[0] // max_frames))  # ceil: <= cap
     fps = max(1, int(round(1.0 / (dt * stride))))
     return render_state_pair_frames(
         np.asarray(target)[::stride], np.asarray(prediction)[::stride],
-        geometry_faces, body_q_offsets, fps)
+        geometry_faces, body_q_offsets, fps, height=height, width=width)

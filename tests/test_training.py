@@ -577,3 +577,96 @@ def test_final_epoch_forces_full_evaluation(cube_training_storage):
     assert "valid_trajectory_mse" in by_epoch[3]
     assert "valid_trajectory_mse" not in by_epoch[1]
     assert "valid_trajectory_mse" not in by_epoch[2]
+
+
+def test_batch_bucket_shapes():
+    """Fused-path compile buckets: powers of two below the quarter-bucket
+    threshold (with bounded padding past it), quarter steps above — the
+    padding overhead caps at 25% for large batches (ADVICE r4)."""
+    from dair_pll_tpu.multibody.learnable_system import (
+        QUARTER_BUCKET_MIN, _batch_bucket)
+
+    for n in (1, 2, 3, 100, 2048, 2049, 100000):
+        b = _batch_bucket(n)
+        assert b >= n
+        assert b & (b - 1) == 0  # power of two below the threshold
+
+    base = QUARTER_BUCKET_MIN
+    assert _batch_bucket(base) == base
+    assert _batch_bucket(base + 1) == base * 5 // 4
+    assert _batch_bucket(base * 5 // 4) == base * 5 // 4
+    assert _batch_bucket(base * 5 // 4 + 1) == base * 3 // 2
+    assert _batch_bucket(base * 7 // 4 + 1) == 2 * base
+    for n in range(QUARTER_BUCKET_MIN, 8 * QUARTER_BUCKET_MIN, 77777):
+        b = _batch_bucket(n)
+        assert n <= b <= n * 5 // 4 + 4  # padding bounded by ~25%
+        assert b % (1 << 15) == 0       # sublane/Pallas-block friendly
+
+
+def test_selection_metric_objective(cube_training_storage):
+    """selection_metric="objective": model selection/early stopping track
+    the training objective on validation slices — the logged valid_loss —
+    not the trajectory-evaluation prediction loss (robust when wrong-init
+    rollout metrics are noisy)."""
+    import json
+    config = make_config(cube_training_storage, "objective_select_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=3,
+                         full_evaluation_period=2,
+                         full_evaluation_samples=2)
+    config.selection_metric = "objective"
+    experiment = MultibodyLearnableExperiment(config)
+    _, best_valid, _ = experiment.train(lambda *a: None)
+
+    log_path = file_utils.log_path(cube_training_storage,
+                                   "objective_select_run")
+    records = [json.loads(line) for line in open(log_path)]
+    objective_valid = [r["valid_loss"] for r in records if "valid_loss"
+                       in r and r["epoch"] >= 0]
+    assert np.isclose(best_valid, min(objective_valid), rtol=1e-6)
+
+
+def test_selection_metric_validates():
+    import pytest
+    with pytest.raises(AssertionError):
+        SupervisedLearningExperimentConfig(selection_metric="bogus")
+
+
+def test_video_period_and_resolution(cube_training_storage):
+    """video_period renders overlays on every N-th sampled evaluation at
+    the configured (decimated) resolution; video_period=0 disables."""
+    config = make_config(cube_training_storage, "video_period_run",
+                         MultibodyLosses.CONTACTNETS_LOSS, epochs=4,
+                         full_evaluation_period=1,
+                         full_evaluation_samples=2)
+    config.video_period = 2
+    config.video_height, config.video_width = 120, 160
+    config.video_max_frames = 6
+    experiment = MultibodyLearnableExperiment(config)
+
+    rendered = []
+    original = experiment.base_and_learned_comparison_summary
+
+    def spy(statistics, params):
+        videos = original(statistics, params)
+        rendered.append(bool(videos))
+        for video, _fps in videos.values():
+            assert video.shape[3:] == (120, 160)
+            assert video.shape[1] <= 6 + 1
+        return videos
+
+    experiment.base_and_learned_comparison_summary = spy
+    experiment.train(lambda *a: None)
+    # Evaluations happened every epoch; only every 2nd rendered.
+    assert any(rendered) and not all(rendered)
+
+    config2 = make_config(cube_training_storage, "video_off_run",
+                          MultibodyLosses.CONTACTNETS_LOSS, epochs=2,
+                          full_evaluation_period=1,
+                          full_evaluation_samples=2)
+    config2.video_period = 0
+    experiment2 = MultibodyLearnableExperiment(config2)
+    experiment2.train(lambda *a: None)
+    assert experiment2.base_and_learned_comparison_summary(
+        {"train_model_target_sample": [np.zeros((3, 13))],
+         "train_model_prediction_sample": [np.zeros((3, 13))]},
+        None) == {}
