@@ -102,11 +102,23 @@ def main():
                         "for the sliding protocol — its high-energy "
                         "tosses diverge to non-finite params within one "
                         "epoch at lr=1e-3 unclipped — else off)")
+    parser.add_argument("--selection", default=None,
+                        choices=("prediction", "objective"),
+                        help="Model-selection metric (config."
+                        "selection_metric). Default: 'objective' for "
+                        "the sliding protocol — its high-energy "
+                        "wrong-init rollouts make the trajectory "
+                        "prediction metric noisy/divergence-prone, "
+                        "which collapsed round-4 model selection back "
+                        "to the init — 'prediction' otherwise.")
     parser.add_argument("--out", default=os.path.join(
         REPO, "results", "elbow_recovery.json"))
     args = parser.parse_args()
     if args.grad_clip is None:
         args.grad_clip = 1.0 if args.protocol == "sliding" else 0.0
+    if args.selection is None:
+        args.selection = "objective" if args.protocol == "sliding" \
+            else "prediction"
     loss_budget = (tuple(int(t) for t in args.loss_budget.split(","))
                    if args.loss_budget else None)
 
@@ -196,14 +208,22 @@ def main():
             lr_schedule="cosine", grad_clip=args.grad_clip),
         full_evaluation_period=args.eval_period,
         full_evaluation_samples=5,
+        selection_metric=args.selection,
         storage=args.storage, run_name="elbow_recovery",
     )
 
     experiment = MultibodyLearnableExperiment(config)
 
+    mu_trace = []
+
     def epoch_callback(epoch, params, train_loss, best_valid):
+        mu = np.abs(np.asarray(params.friction))
+        if epoch % 5 == 0:
+            mu_trace.append({"epoch": int(epoch),
+                             "train_loss": float(train_loss),
+                             "best_valid": float(best_valid),
+                             "mu": np.round(mu, 4).tolist()})
         if epoch % 25 == 0:
-            mu = np.abs(np.asarray(params.friction))
             print(f"epoch {epoch}: train {train_loss:.6g} best valid "
                   f"{best_valid:.6g} mu {np.round(mu, 3)}", flush=True)
 
@@ -230,10 +250,12 @@ def main():
             "epochs": args.epochs, "n_pop": args.n_pop, "T": T,
             "lr": args.lr, "lr_schedule": "cosine",
             "grad_clip": args.grad_clip,
+            "selection_metric": args.selection,
             "fix_environment_friction": True,
             "loss_solver_budget": loss_budget,
             "wrong_init": "friction 2x, mass/inertia 1.5x, boxes 20% small",
         },
+        "mu_trace": mu_trace,
         "combined_mu": mu_report,
         "learned_mu": np.abs(
             np.asarray(best_params.friction)).tolist(),

@@ -23,7 +23,15 @@ DT = 0.0068
 @click.option("--storage", default="/tmp/study_real_cube")
 @click.option("--n-trials", default=8)
 @click.option("--max-epochs", default=48)
-def main(storage, n_trials, max_epochs):
+@click.option("--sampler", default="sobol",
+              type=click.Choice(("sobol", "tpe", "random")),
+              help="'tpe' = Sobol exploration then Parzen-surrogate "
+                   "exploitation (VERDICT r4 item 9: compare vs the "
+                   "sobol baseline at equal trial budget)")
+@click.option("--out-name", default=None,
+              help="results/<out-name>.json (default: "
+                   "study_real_cube[_<sampler>])")
+def main(storage, n_trials, max_epochs, sampler, out_name):
     import jax
     if jax.devices()[0].platform == "tpu":
         # TPU-only: this jax's XLA:CPU AOT deserialization is not
@@ -62,13 +70,14 @@ def main(storage, n_trials, max_epochs):
             epochs=max_epochs, batch_size=Int(256)),
         storage=storage, run_name="study",
         full_evaluation_period=8, full_evaluation_samples=16,
+        video_period=0,
     )
 
     study = Study(StudyConfig(
         experiment_factory=MultibodyLearnableExperiment,
-        base_config=base_config, study_name="real_cube_study",
+        base_config=base_config, study_name=f"real_cube_study_{sampler}",
         n_trials=n_trials, min_epochs=max(2, max_epochs // 8),
-        sampler="sobol"))
+        sampler=sampler))
 
     start = time.time()
     best = study.optimize_hyperparameters()
@@ -76,14 +85,17 @@ def main(storage, n_trials, max_epochs):
     click.echo(f"best hyperparameters: {best} ({elapsed:.0f}s)")
 
     hp_path = os.path.join(
-        file_utils.study_dir(storage, "real_cube_study"),
+        file_utils.study_dir(storage, f"real_cube_study_{sampler}"),
         "optimal_hyperparameters.json")
     with open(hp_path, "r", encoding="utf-8") as handle:
         record = json.load(handle)
     record["wall_seconds"] = elapsed
     record["dataset"] = f"{count} real cube tosses"
-    record["sampler"] = "sobol + successive halving"
-    out = os.path.join(REPO_ROOT, "results", "study_real_cube.json")
+    record["sampler"] = f"{sampler} + successive halving"
+    if out_name is None:
+        out_name = "study_real_cube" if sampler == "sobol" else \
+            f"study_real_cube_{sampler}"
+    out = os.path.join(REPO_ROOT, "results", f"{out_name}.json")
     with open(out, "w", encoding="utf-8") as handle:
         json.dump(record, handle, indent=1, default=float)
     click.echo(f"wrote {out}")

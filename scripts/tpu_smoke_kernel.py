@@ -154,6 +154,53 @@ def main():
         solver_backend="pallas"))()
     record("rollout_warm_kernel_vs_xla", v_pal, v_xla, 2e-3)
 
+    # 4) shard_map x Pallas kernel (VERDICT r4 weak #5): the production
+    #    `shard_training` epoch runs the fused loss kernel inside a
+    #    shard_map body; exercise that composition on a real-device mesh
+    #    (1 chip here — the composition, not the scaling, is what can
+    #    only be validated on the real backend: the CPU dryrun mesh
+    #    routes to the XLA SoA path).
+    import optax
+
+    from dair_pll_tpu.parallel.sharding import (make_data_parallel_step,
+                                                make_mesh, replicate,
+                                                shard_batch)
+    mesh = make_mesh(jax.devices()[:1])
+    optimizer = optax.adam(1e-3)
+
+    def loss_fn(p, xb, xpb):
+        return system.contactnets_loss_batch(p, xb, u, xpb)
+
+    step = make_data_parallel_step(loss_fn, optimizer, mesh)
+    p_rep = replicate(params, mesh)
+    s_rep = replicate(optimizer.init(params), mesh)
+    x_sh = shard_batch(x, mesh)
+    xp_sh = shard_batch(x_plus, mesh)
+    t0 = time.time()
+    p1, s1, loss_sharded = step(p_rep, s_rep, x_sh, xp_sh)
+    loss_sharded = float(loss_sharded)
+    print(f"shard_map+kernel train step compiled+ran in "
+          f"{time.time()-t0:.1f}s")
+    p2, _, loss_sharded_2 = step(p1, s1, x_sh, xp_sh)
+    loss_sharded_2 = float(loss_sharded_2)
+    finite = all(bool(jnp.all(jnp.isfinite(leaf))) for leaf in
+                 jax.tree_util.tree_leaves(p2)
+                 if hasattr(leaf, "dtype"))
+    loss_unsharded = float(jnp.mean(loss_full))
+    shard_ok = bool(
+        finite and np.isfinite(loss_sharded) and
+        abs(loss_sharded - loss_unsharded) <=
+        1e-3 * max(1.0, abs(loss_unsharded)))
+    report["checks"]["shard_map_kernel_train_step"] = {
+        "mesh_devices": int(mesh.devices.size),
+        "loss_sharded": loss_sharded,
+        "loss_unsharded_kernel_mean": loss_unsharded,
+        "loss_after_second_step": loss_sharded_2,
+        "params_finite": finite, "ok": shard_ok}
+    print(f"shard_map+kernel: loss {loss_sharded:.6g} (unsharded "
+          f"{loss_unsharded:.6g}), second step {loss_sharded_2:.6g} "
+          f"{'OK' if shard_ok else 'FAIL'}")
+
     report["ok"] = all(c["ok"] for c in report["checks"].values()
                        if "ok" in c)
 

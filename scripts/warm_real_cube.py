@@ -76,7 +76,22 @@ def main(storage, epochs, batch_size, warm_budget, eval_period,
         "runs": {},
     }
 
-    for name, warm in (("cold", None), ("warm", True)):
+    # Three arms (VERDICT r4 items 2/3/6 in one battery):
+    #   cold_10_6  — the production default budget (flagship refresh);
+    #   cold_10_10 — the gradient-correctness candidate default (the
+    #                (10,6) budget leaves ~4.7% batch-gradient error on
+    #                real data at wrong-init params,
+    #                results/grad_precision_real_cube.json; (10,10)
+    #                cuts it to ~6e-4 at ~1.25x solve cost);
+    #   warm_0_10  — epoch-warm solves at the battery-validated budget
+    #                (results/warm_loss_battery.json), seeded by one
+    #                full-budget epoch.
+    # All arms force the fused SoA loss (several times faster per step
+    # at batch 256; the warm path requires it anyway).
+    arms = (("cold_10_6", None, None),
+            ("cold_10_10", None, (10, 10)),
+            ("warm_0_10", True, None))
+    for name, warm, solver_budget in arms:
         config = SupervisedLearningExperimentConfig(
             data_config=DataConfig(
                 dt=DT, train_fraction=0.5, valid_fraction=0.25,
@@ -86,7 +101,9 @@ def main(storage, epochs, batch_size, warm_budget, eval_period,
             learnable_config=MultibodyLearnableSystemConfig(
                 urdfs={"cube": urdf},
                 loss=MultibodyLosses.CONTACTNETS_LOSS,
-                use_warm_loss=warm, warm_solver_budget=budget),
+                use_warm_loss=warm, warm_solver_budget=budget,
+                loss_solver_budget=solver_budget,
+                force_fused_loss=True),
             optimizer_config=OptimizerConfig(
                 lr=Float(1e-3), wd=Float(1e-6), patience=epochs,
                 epochs=epochs, batch_size=Int(batch_size)),
@@ -103,14 +120,20 @@ def main(storage, epochs, batch_size, warm_budget, eval_period,
         scalars = experiment.learned_system.summary(best_params, {}).scalars
         log_path = os.path.join(storage, "runs", f"warmcmp_{name}",
                                 "log.jsonl")
-        train_s = 0.0
+        durations = {"training_duration": 0.0,
+                     "evaluation_duration": 0.0,
+                     "logging_duration": 0.0}
         if os.path.exists(log_path):
             with open(log_path, encoding="utf-8") as handle:
-                train_s = sum(
-                    json.loads(line).get("training_duration", 0.0)
-                    for line in handle)
+                for line in handle:
+                    row = json.loads(line)
+                    for key in durations:
+                        durations[key] += row.get(key, 0.0)
+        train_s = durations["training_duration"]
         record["runs"][name] = {
             "wall_seconds": round(elapsed, 1),
+            "wall_seconds_split": {k: round(v, 1)
+                                   for k, v in durations.items()},
             "training_seconds": round(train_s, 1),
             "final_statistics_means": means,
             "learned_parameters": {k: float(v)
