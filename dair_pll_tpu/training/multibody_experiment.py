@@ -114,9 +114,18 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     #: loss solve from it at a reduced ``warm_solver_budget``
     #: (:meth:`MultibodyLearnableSystem.contactnets_loss_batch_warm`).
     #: The first epoch of every process run seeds the cache at the full
-    #: production budget. ``None`` = off (conservative default until
-    #: validated per-protocol); ``True`` requires the fused SoA loss
-    #: path, single-step ContactNets, and the default ``loss_dtype``.
+    #: production budget. ``None``/``False`` = off — the round-5
+    #: 500-epoch real-data A/B (``results/warm_real_cube.json``) keeps
+    #: this OPT-IN: warm (4,10) training converges to a materially
+    #: worse optimum than cold (test one-step loss 0.495 vs 0.400, pos
+    #: err 0.0476 vs 0.0408 m; recovered parameters comparable) for
+    #: only ~1.45x training-time savings. The warm objective's
+    #: under-resolved solves underestimate the loss (final warm train
+    #: objective 6.6e-5 vs cold 1.3e-4 on the same data), so training
+    #: drifts toward minimizing the bias. Use for throughput-critical
+    #: sweeps where one-step test loss is not the selection target.
+    #: ``True`` requires the fused SoA loss path, single-step
+    #: ContactNets, and the default ``loss_dtype``.
     use_warm_loss: Optional[bool] = None
     #: ``(ipm, newton)`` budget for warm (non-seed) epochs; ``None`` =
     #: ``learnable_system.DEFAULT_LOSS_WARM_BUDGET``.
@@ -240,6 +249,11 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
                           MultibodyLearnableSystemConfig)
         use = learnable_config.use_warm_loss
         if not use:
+            # Off by default: the 500-epoch real-data A/B
+            # (results/warm_real_cube.json) shows warm training
+            # converges to a worse one-step-loss optimum (see the
+            # config docstring) — warm epochs are an opt-in
+            # throughput knob, not the production default.
             return None
         unsupported = None
         if learnable_config.loss != MultibodyLosses.CONTACTNETS_LOSS:

@@ -64,7 +64,11 @@ def main(storage, n_trials, max_epochs, sampler, out_name):
         base_config=MultibodySystemConfig(urdfs={"cube": urdf}),
         learnable_config=MultibodyLearnableSystemConfig(
             urdfs={"cube": urdf},
-            loss=MultibodyLosses.CONTACTNETS_LOSS),
+            loss=MultibodyLosses.CONTACTNETS_LOSS,
+            # Pinned cold so sampler comparisons stay commensurate
+            # with the round-3 sobol baseline (warm solves are opt-in
+            # and change the trained objective — warm_real_cube.json).
+            use_warm_loss=False),
         optimizer_config=OptimizerConfig(
             lr=Float(1e-3), wd=Float(1e-6), patience=max_epochs,
             epochs=max_epochs, batch_size=Int(256)),

@@ -1,14 +1,15 @@
-"""End-to-end epoch-warm vs cold ContactNets training on the 550 real
-cube tosses (round-4 warm-loss validation).
+"""End-to-end three-arm ContactNets training battery on the 550 real
+cube tosses (round-5: VERDICT-r4 items 2/3/6 in one run).
 
-Two identically-budgeted runs differing only in ``use_warm_loss``: the
-cold production path re-solves every sample at (10,6) each epoch; the
-warm path seeds the impulse cache with one full-budget epoch and then
-runs ``warm_solver_budget`` warm-started epochs
-(``MultibodyLearnableSystemConfig.use_warm_loss``,
+Identically-budgeted runs differing only in the loss-solve policy:
+cold (10,6) production default, cold (10,10) gradient-correctness
+candidate, and the epoch-warm path (impulse cache seeded by one
+full-budget epoch, then ``warm_solver_budget`` warm-started epochs —
+``MultibodyLearnableSystemConfig.use_warm_loss``,
 ``learnable_system.contactnets_loss_batch_warm``). Gradient-level
 accuracy of the warm budget is validated by
-``scripts/warm_loss_battery.py``; this script checks the thing that
+``scripts/warm_loss_battery.py`` and multi-epoch stability by
+``scripts/diag_warm_divergence.py``; this script checks the thing that
 actually matters — final parameter recovery and test statistics parity
 on real data.
 
@@ -83,14 +84,25 @@ def main(storage, epochs, batch_size, warm_budget, eval_period,
     #                real data at wrong-init params,
     #                results/grad_precision_real_cube.json; (10,10)
     #                cuts it to ~6e-4 at ~1.25x solve cost);
-    #   warm_0_10  — epoch-warm solves at the battery-validated budget
-    #                (results/warm_loss_battery.json), seeded by one
+    #   warm_<i>_<n> — epoch-warm solves at the round-5 default budget
+    #                (DEFAULT_LOSS_WARM_BUDGET — (4,10): the short IPM
+    #                central path is required for multi-epoch stability,
+    #                scripts/diag_warm_divergence.py), seeded by one
     #                full-budget epoch.
     # All arms force the fused SoA loss (several times faster per step
     # at batch 256; the warm path requires it anyway).
-    arms = (("cold_10_6", None, None),
-            ("cold_10_10", None, (10, 10)),
-            ("warm_0_10", True, None))
+    from dair_pll_tpu.multibody.learnable_system import (
+        DEFAULT_LOSS_WARM_BUDGET)
+    warm_eff = budget or DEFAULT_LOSS_WARM_BUDGET
+    # Order: the cold flagship refresh and the warm A/B first (they
+    # decide the round-5 production default — outcome: warm stays
+    # OPT-IN, see the use_warm_loss config docstring); the (10,10)
+    # candidate last. The artifact is (re)written after EVERY arm so a
+    # truncated battery still leaves committed evidence.
+    arms = (("cold_10_6", False, None),
+            (f"warm_{warm_eff[0]}_{warm_eff[1]}", True, None),
+            ("cold_10_10", False, (10, 10)))
+    out = os.path.join(REPO_ROOT, "results", "warm_real_cube.json")
     for name, warm, solver_budget in arms:
         config = SupervisedLearningExperimentConfig(
             data_config=DataConfig(
@@ -139,14 +151,13 @@ def main(storage, epochs, batch_size, warm_budget, eval_period,
             "learned_parameters": {k: float(v)
                                    for k, v in sorted(scalars.items())},
         }
+        with open(out, "w", encoding="utf-8") as handle:
+            json.dump(record, handle, indent=1, default=float)
         click.echo(f"{name}: test_pos_err="
                    f"{means.get('test_model_pos_err_mean')} "
-                   f"train_s={train_s:.1f} ({elapsed:.0f}s)")
+                   f"train_s={train_s:.1f} ({elapsed:.0f}s); wrote {out}")
 
-    out = os.path.join(REPO_ROOT, "results", "warm_real_cube.json")
-    with open(out, "w", encoding="utf-8") as handle:
-        json.dump(record, handle, indent=1, default=float)
-    click.echo(f"wrote {out}")
+    click.echo("battery complete")
 
 
 if __name__ == "__main__":
