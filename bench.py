@@ -5,6 +5,24 @@ steps/sec/chip** — full training-step transitions (multibody terms +
 Lorentz-cone QP contact solve + ContactNets loss + gradient + Adam update)
 per second on one chip.
 
+Round 5 headline: the EPOCH-WARM steady-state step at the exact-
+gradient defaults — the production training path. Two defaults flipped
+on decisive end-to-end evidence (``results/warm_real_cube.json``,
+500-epoch A/B on the 550 real tosses):
+
+* cold loss solves default to (10, 10) — polish 6 biased both the
+  gradient (~4.7% rel-l2 on real data) and the objective itself
+  (~2x high on stalled solves), pulling recovered parameters away
+  from truth;
+* ``use_warm_loss`` auto-enables on accelerator backends — warm
+  (4,10) training is end-to-end EQUIVALENT to cold (10,10) training
+  (losses, parameters) while skipping 6 of 10 IPM iterations per
+  steady-state solve.
+
+The cold (10,10) full-budget step (every seed epoch, and the CPU/
+opt-out path) is also measured and recorded in ``bench_detail.json``
+as ``cold_transitions_per_sec``.
+
 ``vs_baseline`` compares against the reference-architecture CPU stand-in
 measured by ``bench_baseline_torch.py`` (torch CPU float64, same
 algorithm, batch 256 — cached in ``baseline_cpu.json``; the true reference
@@ -37,12 +55,13 @@ def main():
 
     from dair_pll_tpu.assets import get_asset
     from dair_pll_tpu.multibody.learnable_system import (
-        MultibodyLearnableSystem)
+        DEFAULT_LOSS_WARM_BUDGET, MultibodyLearnableSystem)
     from dair_pll_tpu.urdf import build_multibody_model
 
     model = build_multibody_model({"cube": get_asset("cube")})
     system = MultibodyLearnableSystem(model, 0.0068)
     n_u = model.n_u
+    k_contacts = model.n_contacts
     optimizer = optax.adam(1e-3)
 
     def train_step(params, opt_state, x, x_plus):
@@ -109,14 +128,72 @@ def main():
             float(loss)
             times.append(time.time() - start)
         times.sort()
-        throughput = batch * SCAN_STEPS / times[len(times) // 2]
+        cold = batch * SCAN_STEPS / times[len(times) // 2]
+
+        # Epoch-warm steady-state step (the production default path on
+        # accelerators): same 8-step scan, each step's cone solve
+        # warm-started from the impulse cache carried through the scan
+        # at DEFAULT_LOSS_WARM_BUDGET; cache seeded by one full-budget
+        # solve (the seed epoch).
+        w_ipm, w_newton = DEFAULT_LOSS_WARM_BUDGET
+
+        def warm_scan(params, opt_state, cache, x, x_plus):
+            u = jnp.zeros((x.shape[0], n_u), x.dtype)
+
+            def body(carry, _):
+                params, opt_state, cache = carry
+
+                def mean_loss(p):
+                    loss, new_cache = system.contactnets_loss_batch_warm(
+                        p, x, u, x_plus, cache,
+                        budget=(w_ipm, w_newton))
+                    return jnp.mean(loss), new_cache
+
+                (loss, cache), grads = jax.value_and_grad(
+                    mean_loss, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, cache), loss
+
+            (params, opt_state, cache), losses = jax.lax.scan(
+                body, (params, opt_state, cache), None,
+                length=SCAN_STEPS)
+            return params, opt_state, cache, jnp.mean(losses)
+
+        warm_step = jax.jit(warm_scan, donate_argnums=(0, 1, 2))
+        u0 = jnp.zeros((batch, n_u), jnp.float32)
+        _, cache = system.contactnets_loss_batch_warm(
+            p, x, u0, x_plus, jnp.zeros((3, k_contacts, batch),
+                                        jnp.float32),
+            budget=(system.ipm_iterations, system.newton_iterations))
+        float(jnp.sum(cache))
+        p, s, cache, loss = warm_step(p, s, cache, x, x_plus)
+        float(loss)
+        times = []
+        for _ in range(8):
+            start = time.time()
+            p, s, cache, loss = warm_step(p, s, cache, x, x_plus)
+            float(loss)
+            times.append(time.time() - start)
+        times.sort()
+        warm = batch * SCAN_STEPS / times[len(times) // 2]
+
+        # Headline = the production default path: epoch-warm steady
+        # state on accelerators (see module docstring).
+        throughput = warm
         if throughput > best:
             best = throughput
             best_batch = batch
+            best_cold = cold
+            best_warm = warm
             best_args = (p, s, x, x_plus)
 
-    detail = _profile_detail(jax, step, best_args, best_batch, best,
-                             SCAN_STEPS)
+    # The device-profile split traces the COLD full-budget step (its
+    # categories are the stable reference across rounds); the warm
+    # steady-state number is recorded alongside.
+    detail = _profile_detail(jax, step, best_args, best_batch,
+                             best_cold, SCAN_STEPS)
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
@@ -137,6 +214,9 @@ def main():
     if detail is not None:
         detail["vs_baseline"] = round(vs_baseline, 2) if vs_baseline \
             else None
+        detail["cold_transitions_per_sec"] = round(best_cold, 1)
+        detail["warm_transitions_per_sec"] = round(best_warm, 1)
+        detail["warm_budget"] = list(DEFAULT_LOSS_WARM_BUDGET)
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "bench_detail.json")
@@ -146,7 +226,8 @@ def main():
     print(json.dumps({
         "metric": "cube-toss contactnets train contact steps/sec/chip",
         "value": round(best, 1),
-        "unit": f"transitions/sec (batch {best_batch})",
+        "unit": f"transitions/sec (batch {best_batch}, epoch-warm "
+                f"steady state; cold {round(best_cold / 1e6, 2)}M)",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
 

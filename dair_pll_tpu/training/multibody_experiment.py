@@ -114,18 +114,24 @@ class MultibodyLearnableSystemConfig(MultibodySystemConfig):
     #: loss solve from it at a reduced ``warm_solver_budget``
     #: (:meth:`MultibodyLearnableSystem.contactnets_loss_batch_warm`).
     #: The first epoch of every process run seeds the cache at the full
-    #: production budget. ``None``/``False`` = off — the round-5
-    #: 500-epoch real-data A/B (``results/warm_real_cube.json``) keeps
-    #: this OPT-IN: warm (4,10) training converges to a materially
-    #: worse optimum than cold (test one-step loss 0.495 vs 0.400, pos
-    #: err 0.0476 vs 0.0408 m; recovered parameters comparable) for
-    #: only ~1.45x training-time savings. The warm objective's
-    #: under-resolved solves underestimate the loss (final warm train
-    #: objective 6.6e-5 vs cold 1.3e-4 on the same data), so training
-    #: drifts toward minimizing the bias. Use for throughput-critical
-    #: sweeps where one-step test loss is not the selection target.
-    #: ``True`` requires the fused SoA loss path, single-step
-    #: ContactNets, and the default ``loss_dtype``.
+    #: production budget. ``None`` = auto (round 5): ON whenever
+    #: supported (single-step ContactNets, default ``loss_dtype``,
+    #: fused-SoA-capable model, static data) on non-CPU backends; OFF
+    #: on CPU, where the extra seed+warm epoch compiles dominate the
+    #: small runs the test suite and dryruns drive. Decisive evidence
+    #: (500-epoch A/B on the 550 real tosses,
+    #: ``results/warm_real_cube.json``): warm (4,10) training is
+    #: END-TO-END EQUIVALENT to cold training at the exact (10,10)
+    #: objective — test one-step loss 0.495 vs 0.502, pos err 0.0476
+    #: vs 0.0478 m, recovered parameters identical to ~3e-4 — while
+    #: skipping 6/10 IPM iterations per steady-state solve. (The
+    #: legacy (10,6) COLD objective scores better on prediction
+    #: metrics via its stall bias — see
+    #: ``DEFAULT_LOSS_NEWTON_ITERATIONS`` — that is a property of the
+    #: objective, not of warm-starting.) Multi-epoch stability of the
+    #: (4,10) warm budget: ``scripts/diag_warm_divergence.py``.
+    #: ``True`` forces warm epochs (raises if unsupported); ``False``
+    #: disables.
     use_warm_loss: Optional[bool] = None
     #: ``(ipm, newton)`` budget for warm (non-seed) epochs; ``None`` =
     #: ``learnable_system.DEFAULT_LOSS_WARM_BUDGET``.
@@ -248,12 +254,7 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
         assert isinstance(learnable_config,
                           MultibodyLearnableSystemConfig)
         use = learnable_config.use_warm_loss
-        if not use:
-            # Off by default: the 500-epoch real-data A/B
-            # (results/warm_real_cube.json) shows warm training
-            # converges to a worse one-step-loss optimum (see the
-            # config docstring) — warm epochs are an opt-in
-            # throughput knob, not the production default.
+        if use is False:
             return None
         unsupported = None
         if learnable_config.loss != MultibodyLosses.CONTACTNETS_LOSS:
@@ -266,7 +267,17 @@ class MultibodyLearnableExperiment(SupervisedLearningExperiment):
         assert isinstance(system, MultibodyLearnableSystem)
         if unsupported is None and not system.supports_fused_loss():
             unsupported = "model lacks fused SoA loss support"
-        if unsupported is not None:
+        if use is None:
+            # Auto (round 5): warm epochs are the production default on
+            # accelerator backends — end-to-end equivalent to cold
+            # training at the exact (10,10) objective on the 550 real
+            # tosses (results/warm_real_cube.json; see the config
+            # docstring). Off on CPU: the seed+warm epoch pair doubles
+            # compiles for the small CPU runs the test suite drives.
+            import jax
+            if unsupported is not None or jax.default_backend() == "cpu":
+                return None
+        elif unsupported is not None:
             raise ValueError(f"use_warm_loss: {unsupported}")
 
         n_u = system.model.n_u
